@@ -1,0 +1,97 @@
+"""Backward (bilinear) warping — TPU-native `grid_sample` equivalent.
+
+Implements the exact semantics of the reference warp path
+(/root/reference/network/flow_warp.py:26-60): sample `feature` at
+``pixel_grid + flow`` with bilinear interpolation, ``align_corners=True``
+and ``padding_mode='zeros'`` — i.e. each of the 4 taps that falls outside
+the image contributes exactly zero (no clamping).
+
+Design notes (TPU):
+  * NHWC layout; the gather is over the flattened H*W axis with the
+    channel axis contiguous, which XLA lowers to an efficient dynamic
+    gather on TPU.
+  * The reference normalizes coords to [-1, 1] and lets grid_sample
+    un-normalize them; algebraically that is the identity on pixel
+    coords, so we skip the round-trip (the fp error is < 1e-5 px).
+  * The whole op is differentiable; gradients flow to both `feature`
+    and `flow` (as with grid_sample).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _base_grid(h: int, w: int):
+    """Pixel-coordinate grid [H, W, 2] with (x, y) channel order."""
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return np.stack([xs, ys], axis=-1).astype(np.float32)
+
+
+def coords_grid(b: int, h: int, w: int) -> jnp.ndarray:
+    """[B, H, W, 2] (x, y) pixel grid. Parity: flow_warp.py:7-23 (NHWC)."""
+    grid = jnp.asarray(_base_grid(h, w))
+    return jnp.broadcast_to(grid, (b, h, w, 2))
+
+
+def grid_sample_bilinear(
+    img: jnp.ndarray, coords: jnp.ndarray, return_mask: bool = False
+):
+    """Sample `img` [B, H, W, C] at pixel `coords` [B, Ho, Wo, 2] (x, y).
+
+    Out-of-range taps contribute zero (padding_mode='zeros',
+    align_corners=True). Returns [B, Ho, Wo, C] (and optionally the
+    in-range mask [B, Ho, Wo] like bilinear_sample(return_mask=True)).
+    """
+    B, H, W, C = img.shape
+    _, Ho, Wo, _ = coords.shape
+    orig_dtype = img.dtype
+    cdtype = jnp.promote_types(coords.dtype, jnp.float32)
+    x = coords[..., 0].astype(cdtype)
+    y = coords[..., 1].astype(cdtype)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    img_flat = img.reshape(B, H * W, C)
+
+    def tap(xi, yi, wgt):
+        valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        flat = (yc * W + xc).reshape(B, Ho * Wo)
+        vals = jnp.take_along_axis(img_flat, flat[..., None], axis=1)
+        vals = vals.reshape(B, Ho, Wo, C)
+        w_eff = jnp.where(valid, wgt, 0.0).astype(vals.dtype)
+        return vals * w_eff[..., None]
+
+    out = (
+        tap(x0i, y0i, (1 - wx1) * (1 - wy1))
+        + tap(x0i + 1, y0i, wx1 * (1 - wy1))
+        + tap(x0i, y0i + 1, (1 - wx1) * wy1)
+        + tap(x0i + 1, y0i + 1, wx1 * wy1)
+    ).astype(orig_dtype)
+
+    if return_mask:
+        # Parity with bilinear_sample(return_mask=True): mask of samples
+        # whose normalized coords lie in [-1, 1] (flow_warp.py:42-45).
+        mask = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
+        return out, mask
+    return out
+
+
+def flow_warp(feature: jnp.ndarray, flow: jnp.ndarray, return_mask: bool = False):
+    """Backward-warp `feature` [B, H, W, C] by `flow` [B, H, W, 2] (x, y).
+
+    Parity: flow_warp (reference flow_warp.py:50-60), NHWC layout.
+    """
+    b, h, w, _ = feature.shape
+    coords = coords_grid(b, h, w).astype(flow.dtype) + flow
+    return grid_sample_bilinear(feature, coords, return_mask=return_mask)

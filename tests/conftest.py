@@ -1,0 +1,19 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+All unit tests run on CPU so they are hermetic and can exercise the
+multi-device sharding code paths (`jax.sharding.Mesh` over 8 virtual
+devices) without TPU hardware. Must run before any `import jax`.
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = flags
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Make the repo root importable regardless of where pytest is invoked from.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
