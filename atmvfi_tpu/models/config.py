@@ -1,0 +1,81 @@
+"""Model configuration presets (base / lite).
+
+The reference ships two hand-edited module trees
+(/root/reference/network/network_base.py vs network_lite.py) that differ
+only in widths and MLP ratios (SURVEY.md §2.16). Here both are presets
+of one declarative config.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ATMVFIConfig:
+    name: str = "base"
+    # encoder pyramid dims, stride-2 between stages (network_base.py:92)
+    hidden_dims: Tuple[int, ...] = (24, 48, 96, 192)
+    pyramid_level: int = 4
+    # transformer blocks
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    local_window: int = 8
+    global_window: int = 12
+    enhance_window: int = 8
+    # head widths
+    local_mlp_hidden_ratio: float = 0.75  # of fused_dim*2 (network_base.py:154)
+    global_mlp_hidden: int = 768  # lite: concat_dim * 2 * 0.5 (network_lite.py:202)
+    last_feat_extra: int = 96  # last_feat_dim = hidden_dims[-1] + extra
+    refine_hidden: int = 64
+    # numerics
+    dtype: jnp.dtype = jnp.float32  # compute dtype (params stay f32)
+
+    # ---- derived quantities ----
+    @property
+    def fused_dim(self) -> int:
+        """Local-branch token dim after cross-scale fusion (network_base.py:113)."""
+        d = self.hidden_dims
+        return d[-1] + d[-2] + 2 * d[-3]
+
+    @property
+    def last_feat_dim(self) -> int:
+        return self.hidden_dims[-1] + self.last_feat_extra
+
+    @property
+    def global_dim(self) -> int:
+        """Global-branch token dim (network_base.py:168)."""
+        return self.last_feat_dim + self.hidden_dims[-1] + 2 * self.hidden_dims[-2]
+
+    @property
+    def motion_out_dim(self) -> int:
+        return 5  # flow0 (2) + flow1 (2) + occlusion logit (1)
+
+    @property
+    def decoder_dims(self) -> Tuple[int, int, int]:
+        """fused_dim1/2/3 of the coarse-to-fine decoder (network_base.py:198-200)."""
+        fd = 2 * self.fused_dim
+        return fd // 2, fd // 4, fd // 8
+
+    def with_dtype(self, dtype) -> "ATMVFIConfig":
+        return dataclasses.replace(self, dtype=dtype)
+
+
+BASE = ATMVFIConfig()
+
+LITE = ATMVFIConfig(
+    name="lite",
+    hidden_dims=(16, 32, 64, 96),
+    mlp_ratio=2.0,
+    local_mlp_hidden_ratio=0.5,
+    global_mlp_hidden=352,  # concat_dim(352) * 2 * 0.5 (network_lite.py:202)
+    last_feat_extra=32,
+    refine_hidden=32,
+)
+
+
+def get_config(name: str, dtype=jnp.float32) -> ATMVFIConfig:
+    cfg = {"base": BASE, "lite": LITE}[name]
+    return cfg.with_dtype(dtype)

@@ -1,0 +1,327 @@
+"""Model building blocks (flax.linen, NHWC, static shapes).
+
+Functional re-design of the reference blocks
+(/root/reference/network/attention.py, network_base.py:20-32):
+
+  * Attention masks, shift masks and relative-coordinate tensors are
+    static trace-time constants (ops.window) instead of the reference's
+    mutable `register_buffer` caches.
+  * The ConvTranspose(k=2, s=2) decoders are expressed as a matmul +
+    depth-to-space, which maps directly onto the MXU.
+  * Compute dtype is configurable (bf16 on TPU); softmax and layer
+    norms accumulate in f32.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from atmvfi_tpu import ops
+from atmvfi_tpu.models.initializers import (
+    msra_conv_init,
+    prelu_init,
+    torch_conv_bias_init,
+    torch_conv_kernel_init,
+    trunc_normal_init,
+)
+
+LN_EPS = 1e-5  # torch nn.LayerNorm default
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)  # torch nn.GELU default (erf)
+
+
+def prelu(x, alpha):
+    alpha = alpha.astype(x.dtype)
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+class ConvPReLU(nn.Module):
+    """conv3x3 + PReLU helper (reference `conv`, network_base.py:20-25)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = self.kernel * self.kernel * x.shape[-1]
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=self.stride,
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_dilation=self.dilation,
+            kernel_init=torch_conv_kernel_init(),
+            bias_init=torch_conv_bias_init(fan_in),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        alpha = self.param("prelu", prelu_init, (self.features,))
+        return prelu(x, alpha)
+
+
+class Deconv2x(nn.Module):
+    """ConvTranspose(k=2, s=2) + PReLU as matmul + depth-to-space.
+
+    Exact parity with the reference `deconv` at its only used config
+    (kernel 2, stride 2, padding 0 — network_base.py:202, 243-255):
+    out[2h+dy, 2w+dx, o] = sum_i x[h, w, i] * K[dy, dx, i, o] + b[o].
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    with_prelu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init(), (2, 2, C, self.features)
+        )
+        bias = self.param("bias", torch_conv_bias_init(4 * C), (self.features,))
+        # [B, HW, 2*2*O]: each input pixel emits its 2x2 output block
+        k = kernel.astype(self.dtype).transpose(2, 0, 1, 3).reshape(C, 4 * self.features)
+        y = jnp.dot(x.reshape(B, H * W, C), k)
+        y = y.reshape(B, H, W, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, self.features)
+        y = y + bias.astype(self.dtype)
+        if self.with_prelu:
+            alpha = self.param("prelu", prelu_init, (self.features,))
+            y = prelu(y, alpha)
+        return y
+
+
+class PReLU(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("prelu", prelu_init, (self.features,))
+        return prelu(x, alpha)
+
+
+class DWConv(nn.Module):
+    """3x3 depthwise conv inside the transformer MLP (attention.py:74-85)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        return nn.Conv(
+            self.dim,
+            (3, 3),
+            padding=[(1, 1), (1, 1)],
+            feature_group_count=self.dim,
+            kernel_init=msra_conv_init(9),  # fan_out//groups == 9
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+
+
+class Mlp(nn.Module):
+    """fc1 -> dwconv -> GELU -> fc2 (attention.py:88-123)."""
+
+    dim: int
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        dense = lambda f, name: nn.Dense(
+            f, kernel_init=trunc_normal_init(), dtype=self.dtype, name=name
+        )
+        x = dense(self.hidden, "fc1")(x)
+        x = DWConv(self.hidden, dtype=self.dtype, name="dwconv")(x)
+        x = gelu(x)
+        x = dense(self.dim, "fc2")(x)
+        return x
+
+
+def attention_probs(q, k, scale, mask: Optional[jnp.ndarray]):
+    """Masked softmax attention probabilities in f32.
+
+    q, k: [B, heads, N, hd]; mask: [nW, N, N] additive or None. Batch is
+    ordered (img, window) flattened, matching window_partition, so the
+    mask broadcast reproduces attention.py:194-198.
+    """
+    attn = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        nW, N, _ = mask.shape
+        h = attn.shape[1]
+        attn = attn.reshape(-1, nW, h, N, N) + mask[None, :, None]
+        attn = attn.reshape(-1, h, N, N)
+    return jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+
+
+class AttentionToMotion(nn.Module):
+    """Cross-frame window attention emitting appearance + motion.
+
+    The core ATM op (attention.py:126-213): appearance = attn @ v;
+    motion = per-head expected in-window displacement
+    sum_k attn[q,k] * (coord_k - coord_q), reduced over heads by a tiny
+    shared MLP per direction.
+    """
+
+    dim: int
+    window_size: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, mask=None):
+        B, N, C = x1.shape
+        h = self.num_heads
+        hd = C // h
+        scale = hd**-0.5
+        dense = lambda f, name, bias=True: nn.Dense(
+            f, use_bias=bias, kernel_init=trunc_normal_init(), dtype=self.dtype, name=name
+        )
+        q = dense(C, "q", self.qkv_bias)(x1).reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+        kv = dense(2 * C, "kv", self.qkv_bias)(x2).reshape(B, N, 2, h, hd)
+        k = kv[:, :, 0].transpose(0, 2, 1, 3)
+        v = kv[:, :, 1].transpose(0, 2, 1, 3)
+
+        attn = attention_probs(q, k, scale, mask)  # f32 [B, h, N, N]
+        out = jnp.einsum("bhqk,bhkd->bqhd", attn.astype(self.dtype), v)
+        out = dense(C, "proj")(out.reshape(B, N, C))
+
+        rel = ops.relative_coords(self.window_size)  # [2, N, N] f32
+        motion = jnp.einsum("bhqk,dqk->bdqh", attn, rel)  # [B, 2, N, h] f32
+        motion = motion.astype(self.dtype)
+        m = dense(h // 2, "mlp_fc1")(motion)
+        m = gelu(m)
+        m = dense(1, "mlp_fc2")(m)  # [B, 2, N, 1]
+        motion = m[..., 0].transpose(0, 2, 1)  # [B, N, 2] (dx, dy)
+        return out, motion
+
+
+class WindowAttention(nn.Module):
+    """Plain self window attention (attention.py:337-390)."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        B, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        scale = hd**-0.5
+        dense = lambda f, name, bias=True: nn.Dense(
+            f, use_bias=bias, kernel_init=trunc_normal_init(), dtype=self.dtype, name=name
+        )
+        qkv = dense(3 * C, "qkv", self.qkv_bias)(x).reshape(B, N, 3, h, hd)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+        attn = attention_probs(q, k, scale, mask)
+        out = jnp.einsum("bhqk,bhkd->bqhd", attn.astype(self.dtype), v)
+        return dense(C, "proj")(out.reshape(B, N, C))
+
+
+class _SwinShell(nn.Module):
+    """Shared pad/shift/partition scaffolding for the two block types."""
+
+    window_size: int = 8
+    shift_size: int = 0
+
+    def _prologue(self, x):
+        _, H, W, _ = x.shape
+        ws = (self.window_size, self.window_size)
+        ss = (self.shift_size, self.shift_size)
+        mask = ops.attn_mask_for(H, W, ws, ss)
+        x_pad = ops.center_pad(x, ws)
+        if self.shift_size:
+            x_pad = jnp.roll(x_pad, (-ss[0], -ss[1]), axis=(1, 2))
+        return x_pad, mask
+
+    def _epilogue(self, windows, Hp, Wp, H, W):
+        ws = (self.window_size, self.window_size)
+        back = ops.window_reverse(windows, ws, Hp, Wp)
+        if self.shift_size:
+            back = jnp.roll(back, (self.shift_size, self.shift_size), axis=(1, 2))
+        return ops.center_depad(back, H, W, ws)
+
+
+class ATMFormer(_SwinShell):
+    """Swin-style block around AttentionToMotion (attention.py:216-334).
+
+    Input/output are [2B, H, W, C] with the two frames stacked on the
+    batch axis; also returns the per-pixel bidirectional motion seed
+    [2B, H, W, 2]. NOTE the reference's residual quirk: the attention
+    residual is added to norm1(x), not to x (attention.py:320-322) —
+    reproduced faithfully.
+    """
+
+    dim: int = 0
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B2, H, W, C = x.shape
+        x_pad, mask = self._prologue(x)
+        Hp, Wp = x_pad.shape[1], x_pad.shape[2]
+        x_win = ops.window_partition(x_pad, (self.window_size, self.window_size))
+        nwB = x_win.shape[0]
+        x_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x_win)
+        x_rev = jnp.concatenate([x_norm[nwB // 2 :], x_norm[: nwB // 2]], axis=0)
+        app, motion = AttentionToMotion(
+            self.dim,
+            self.window_size,
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            name="attn",
+        )(x_norm, x_rev, mask)
+        x_norm = x_norm + app
+
+        x_out = self._epilogue(x_norm, Hp, Wp, H, W)
+        motion_out = self._epilogue(motion, Hp, Wp, H, W)
+
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x_out)
+        x_out = x_out + Mlp(
+            self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp"
+        )(y)
+        return x_out, motion_out
+
+
+class RefineBottleneck(_SwinShell):
+    """Swin block around plain WindowAttention (attention.py:393-495)."""
+
+    dim: int = 0
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C] -> [B, H, W, C]
+        B, H, W, C = x.shape
+        x_pad, mask = self._prologue(x)
+        Hp, Wp = x_pad.shape[1], x_pad.shape[2]
+        x_win = ops.window_partition(x_pad, (self.window_size, self.window_size))
+        x_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x_win)
+        app = WindowAttention(
+            self.dim, num_heads=self.num_heads, dtype=self.dtype, name="attn"
+        )(x_norm, mask)
+        x_norm = x_norm + app
+        x_out = self._epilogue(x_norm, Hp, Wp, H, W)
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x_out)
+        x_out = x_out + Mlp(
+            self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp"
+        )(y)
+        return x_out

@@ -1,0 +1,378 @@
+"""ATM-VFI network — TPU-native re-design (base & lite presets).
+
+Functional parity with the reference orchestration
+(/root/reference/network/network_base.py:88-712, network_lite.py) in
+NHWC / JAX form:
+
+  * Frames are stacked on the batch axis so all shared towers run once
+    on [2B, ...] (as the reference does at network_base.py:451).
+  * `global_motion` / `ensemble_global_motion` are static call
+    arguments; one jitted XLA graph exists per (variant, resolution
+    bucket, flags) combination.
+  * The per-sample Python argmin of the multiscale ensemble
+    (network_base.py:593-603) is vectorized into argmin + gather.
+
+All heavy compute is MXU-friendly: convs NHWC, window attention as
+batched matmuls, the k2s2 transposed convs as matmul + depth-to-space.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from atmvfi_tpu import ops
+from atmvfi_tpu.models.config import ATMVFIConfig
+from atmvfi_tpu.models.fusion import CrossScaleFeatureFusion
+from atmvfi_tpu.models.initializers import torch_conv_bias_init, torch_conv_kernel_init
+from atmvfi_tpu.models.layers import (
+    ATMFormer,
+    ConvPReLU,
+    Deconv2x,
+    PReLU,
+    RefineBottleneck,
+)
+
+
+def _plain_conv(features: int, kernel: int, in_features: int, dtype, name: str):
+    """nn.Conv with PyTorch-default init and explicit 'same' padding."""
+    pad = kernel // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        padding=[(pad, pad)] * 2,
+        kernel_init=torch_conv_kernel_init(),
+        bias_init=torch_conv_bias_init(kernel * kernel * in_features),
+        dtype=dtype,
+        name=name,
+    )
+
+
+def _seq(modules: Sequence, x):
+    for m in modules:
+        x = m(x)
+    return x
+
+
+class Network(nn.Module):
+    """The full VFI model. __call__(im0, im1) -> output dict.
+
+    im0, im1: [B, H, W, 3] float in [0, 1]; H, W divisible by 16
+    (use infer.InputPadder for arbitrary sizes; benchmark protocol pads
+    to 64 or 32 per dataset).
+    """
+
+    cfg: ATMVFIConfig
+
+    def setup(self):
+        c = self.cfg
+        dt = c.dtype
+        d = c.hidden_dims
+
+        # --- pyramid encoder (network_base.py:99-110) ---
+        extract = []
+        for i in range(c.pyramid_level):
+            extract.append(ConvPReLU(d[i], stride=1 if i == 0 else 2, dtype=dt))
+            extract.append(ConvPReLU(d[i], stride=1, dtype=dt))
+        self.feat_extracts = extract
+
+        # --- local motion branch ---
+        fused = c.fused_dim
+        self.cross_scale_feature_fusion = CrossScaleFeatureFusion(
+            in_dims=tuple(d[1:]), fused_dim=fused, dtype=dt
+        )
+        self.feat_enhance_transformer = [
+            RefineBottleneck(
+                dim=fused, window_size=c.enhance_window, shift_size=s,
+                num_heads=c.num_heads, mlp_ratio=c.mlp_ratio, dtype=dt,
+            )
+            for s in (0, c.enhance_window // 2)
+        ]
+        self.local_motion_atmformer = [
+            ATMFormer(
+                dim=fused, window_size=c.local_window, shift_size=s,
+                num_heads=c.num_heads, mlp_ratio=c.mlp_ratio, dtype=dt,
+            )
+            for s in (0, c.local_window // 2)
+        ]
+        lm_hidden = int(2 * fused * c.local_mlp_hidden_ratio)
+        lm_in = 2 * fused + c.num_heads
+        self.local_motion_mlp = [
+            ConvPReLU(lm_hidden, dtype=dt),
+            ConvPReLU(lm_hidden, dtype=dt),
+            _plain_conv(c.motion_out_dim, 1, lm_hidden, dt, "local_motion_mlp_2"),
+        ]
+        del lm_in
+
+        # --- global motion branch ---
+        lfd = c.last_feat_dim
+        self.last_feat_extract = [
+            ConvPReLU(lfd, stride=2, dtype=dt),
+            ConvPReLU(lfd, stride=1, dtype=dt),
+        ]
+        gdim = c.global_dim
+        self.global_feature_fusion = CrossScaleFeatureFusion(
+            in_dims=(d[-2], d[-1], lfd), fused_dim=gdim, dtype=dt
+        )
+        self.global_motion_atmformer = [
+            ATMFormer(
+                dim=gdim, window_size=c.global_window, shift_size=s,
+                num_heads=c.num_heads, mlp_ratio=c.mlp_ratio, dtype=dt,
+            )
+            for s in (0, c.global_window // 2)
+        ]
+        gm_hidden = c.global_mlp_hidden
+        self.global_motion_mlp = [
+            ConvPReLU(gm_hidden, dtype=dt),
+            ConvPReLU(gm_hidden, dtype=dt),
+            _plain_conv(c.motion_out_dim, 1, gm_hidden, dt, "global_motion_mlp_2"),
+        ]
+
+        # --- coarse-to-fine decoder (network_base.py:203-221) ---
+        fd1, fd2, fd3 = c.decoder_dims
+        mo = c.motion_out_dim
+        self.upsample0 = [
+            Deconv2x(fd1 + mo, dtype=dt),
+            ConvPReLU(fd1 + mo, dtype=dt),
+            _plain_conv(fd1 + mo, 3, fd1 + mo, dt, "upsample0_2"),
+        ]
+        self.upsample1 = [
+            PReLU(fd1 + mo),
+            Deconv2x(fd2 + mo, dtype=dt),
+            ConvPReLU(fd2 + mo, dtype=dt),
+            _plain_conv(fd2 + mo, 3, fd2 + mo, dt, "upsample1_3"),
+        ]
+        self.upsample2 = [
+            PReLU(fd2 + mo),
+            Deconv2x(fd3 + mo, dtype=dt),
+            ConvPReLU(fd3 + mo, dtype=dt),
+            _plain_conv(fd3 + mo, 3, fd3 + mo, dt, "upsample2_3"),
+        ]
+
+        # --- residual refinement U-Net (network_base.py:223-260) ---
+        hid = c.refine_hidden
+        self.refine_proj = ConvPReLU(hid, dtype=dt)
+        self.down1 = [ConvPReLU(hid, stride=2, dtype=dt)]
+        self.down2 = [
+            ConvPReLU(2 * hid, stride=2, dtype=dt),
+            ConvPReLU(2 * hid, dtype=dt),
+        ]
+        self.down3 = [
+            ConvPReLU(4 * hid, stride=2, dtype=dt),
+            ConvPReLU(4 * hid, dtype=dt),
+            ConvPReLU(4 * hid, dtype=dt),
+        ]
+        self.up1 = [Deconv2x(2 * hid, dtype=dt), ConvPReLU(2 * hid, dtype=dt)]
+        self.up2 = [Deconv2x(2 * hid, dtype=dt), ConvPReLU(hid, dtype=dt)]
+        self.up3 = [Deconv2x(hid, dtype=dt)]
+        self.refine_head = [ConvPReLU(hid, dtype=dt), ConvPReLU(3, dtype=dt)]
+
+    # ------------------------------------------------------------------
+    # sub-towers
+    # ------------------------------------------------------------------
+    def shared_feat_extraction(self, x):
+        """[2B, H, W, 3] -> coarsest feat + [1/2, 1/4, 1/8] scale feats."""
+        feats = []
+        for i in range(self.cfg.pyramid_level):
+            x = self.feat_extracts[2 * i](x)
+            x = self.feat_extracts[2 * i + 1](x)
+            if i != 0:
+                feats.append(x)
+        return x, feats
+
+    def shared_feat_enhancement(self, x):
+        for blk in self.feat_enhance_transformer:
+            x = blk(x)
+        return x
+
+    def estimate_local_motion(self, feat):
+        """feat: [2B, h, w, C] fused tokens -> flows, occlusion, features."""
+        B2 = feat.shape[0]
+        B = B2 // 2
+        motion_chunks = []
+        for blk in self.local_motion_atmformer:
+            feat, m = blk(feat)
+            motion_chunks.append(jnp.concatenate([m[:B], m[B:]], axis=-1))
+        feat_concat = jnp.concatenate([feat[:B], feat[B:]], axis=-1)
+        motion = jnp.concatenate(motion_chunks, axis=-1)  # [B, h, w, 8]
+        out = _seq(self.local_motion_mlp, jnp.concatenate([motion, feat_concat], -1))
+        flow0 = out[..., 0:2]
+        flow1 = out[..., 2:4]
+        occ1 = jax.nn.sigmoid(out[..., 4:5])
+        return flow0, flow1, occ1, feat, out
+
+    def estimate_global_motion(self, x, feat_scale_level):
+        """x: coarsest encoder feat [2B, h8, w8, C]; returns 1/16-res flows."""
+        B = x.shape[0] // 2
+        feat_ = _seq(self.last_feat_extract, x)
+        levels = [feat_scale_level[1], feat_scale_level[2], feat_]
+        feat_ = self.global_feature_fusion(levels)
+        motion_chunks = []
+        for blk in self.global_motion_atmformer:
+            feat_, m = blk(feat_)
+            motion_chunks.append(jnp.concatenate([m[:B], m[B:]], axis=-1))
+        feat_ = jnp.concatenate([feat_[:B], feat_[B:]], axis=-1)
+        motion = jnp.concatenate(motion_chunks, axis=-1)
+        out = _seq(self.global_motion_mlp, jnp.concatenate([motion, feat_], -1))
+        flow0 = out[..., 0:2]
+        flow1 = out[..., 2:4]
+        occ1 = jax.nn.sigmoid(out[..., 4:5])
+        return flow0, flow1, occ1
+
+    def residual_refinement(self, feat, im0, I_t_0, im1, I_t_1, I_t, skips):
+        feat0 = self.refine_proj(
+            jnp.concatenate([feat, im0, I_t_0, im1, I_t_1, I_t], axis=-1)
+        )
+        feat1 = _seq(self.down1, feat0)
+        feat2 = _seq(self.down2, jnp.concatenate([feat1, skips[1]], axis=-1))
+        feat3 = _seq(self.down3, jnp.concatenate([feat2, skips[0]], axis=-1))
+        feat2_ = _seq(self.up1, feat3)
+        feat1_ = _seq(self.up2, jnp.concatenate([feat2_, feat2], axis=-1))
+        feat0_ = _seq(self.up3, jnp.concatenate([feat1_, feat1], axis=-1))
+        res = _seq(self.refine_head, jnp.concatenate([feat0_, feat0], axis=-1))
+        return 2 * jax.nn.sigmoid(res) - 1
+
+    # ------------------------------------------------------------------
+    # global-motion multiscale ensemble (vectorized; network_base.py:548-605)
+    # ------------------------------------------------------------------
+    def _global_alignmentness(self, flow0, flow1, im0, im1):
+        H0 = im0.shape[1]
+        factor = H0 // flow0.shape[1]
+        f0 = ops.upsample_flow(flow0, factor)
+        f1 = ops.upsample_flow(flow1, factor)
+        w0 = ops.flow_warp(im0, f0)
+        w1 = ops.flow_warp(im1, f1)
+        return jnp.mean(jnp.abs(w0 - w1), axis=(1, 2, 3))  # [B]
+
+    def multiscale_global_motion_ensemble(self, im0, im1):
+        im = jnp.concatenate([im0, im1], axis=0)
+        f0s, f1s, losses = [], [], []
+        for level in range(3):
+            if level > 0:
+                im = ops.downsample_2x(im)
+            x, levels = self.shared_feat_extraction(im)
+            f0, f1, _ = self.estimate_global_motion(x, levels)
+            losses.append(self._global_alignmentness(f0, f1, im0, im1))
+            if level > 0:
+                f0 = ops.upsample_flow(f0, 2**level)
+                f1 = ops.upsample_flow(f1, 2**level)
+            f0s.append(f0)
+            f1s.append(f1)
+        loss = jnp.stack(losses, axis=0)  # [3, B]
+        best = jnp.argmin(loss, axis=0)  # [B]
+        sel = best[None, :, None, None, None]  # broadcast over [3,B,h,w,2]
+        f0 = jnp.take_along_axis(jnp.stack(f0s, 0), sel, axis=0)[0]
+        f1 = jnp.take_along_axis(jnp.stack(f1s, 0), sel, axis=0)[0]
+        return f0, f1
+
+    # ------------------------------------------------------------------
+    # main forward
+    # ------------------------------------------------------------------
+    def __call__(self, im0, im1, global_motion: bool = True,
+                 ensemble_global_motion: bool = False):
+        c = self.cfg
+        im0 = im0.astype(c.dtype)
+        im1 = im1.astype(c.dtype)
+        B = im0.shape[0]
+
+        im0_list: List[jnp.ndarray] = [im0]
+        im1_list: List[jnp.ndarray] = [im1]
+        im_t_list: List[jnp.ndarray] = []
+        im0_warped_list: List[jnp.ndarray] = []
+        im1_warped_list: List[jnp.ndarray] = []
+        for _ in range(c.pyramid_level - 1):
+            im0_list.append(ops.downsample_2x(im0_list[-1]))
+            im1_list.append(ops.downsample_2x(im1_list[-1]))
+
+        x, feat_scale_level = self.shared_feat_extraction(
+            jnp.concatenate([im0, im1], axis=0)
+        )
+        feat = self.cross_scale_feature_fusion(feat_scale_level)  # [2B,h,w,C]
+
+        if global_motion:
+            if ensemble_global_motion:
+                gf0, gf1 = self.multiscale_global_motion_ensemble(im0, im1)
+            else:
+                gf0, gf1, gocc1 = self.estimate_global_motion(x, feat_scale_level)
+                im0_d16 = ops.downsample_2x(im0_list[-1])
+                im1_d16 = ops.downsample_2x(im1_list[-1])
+                I_t_0 = ops.flow_warp(im0_d16, gf0)
+                I_t_1 = ops.flow_warp(im1_d16, gf1)
+                I_t = gocc1 * I_t_0 + (1 - gocc1) * I_t_1
+                im0_warped_list.insert(0, I_t_0)
+                im1_warped_list.insert(0, I_t_1)
+                im_t_list.insert(0, I_t)
+
+            gf0 = ops.upsample_flow(gf0, 2)
+            gf1 = ops.upsample_flow(gf1, 2)
+            # pre-align the fused tokens and the whole image pyramid
+            feat = jnp.concatenate(
+                [ops.flow_warp(feat[:B], gf0), ops.flow_warp(feat[B:], gf1)], axis=0
+            )
+            for i in reversed(range(c.pyramid_level)):
+                im0_list[i] = ops.flow_warp(im0_list[i], gf0)
+                im1_list[i] = ops.flow_warp(im1_list[i], gf1)
+                if i != 0:
+                    gf0 = ops.upsample_flow(gf0, 2)
+                    gf1 = ops.upsample_flow(gf1, 2)
+
+        flow0, flow1, occ1, feat, out = self.estimate_local_motion(feat)
+
+        feat = self.shared_feat_enhancement(feat)
+        feat = jnp.concatenate([feat[:B], feat[B:]], axis=-1)  # [B,h,w,2C]
+
+        I_t_0 = ops.flow_warp(im0_list[-1], flow0)
+        I_t_1 = ops.flow_warp(im1_list[-1], flow1)
+        I_t = occ1 * I_t_0 + (1 - occ1) * I_t_1
+        im0_warped_list.insert(0, I_t_0)
+        im1_warped_list.insert(0, I_t_1)
+        im_t_list.insert(0, I_t)
+
+        fd1, fd2, fd3 = c.decoder_dims
+        feat = jnp.concatenate(
+            [
+                ops.flow_warp(feat[..., :fd1], flow0),
+                ops.flow_warp(feat[..., fd1 : 2 * fd1], flow1),
+                out,
+            ],
+            axis=-1,
+        )
+
+        skips = []
+        mo = c.motion_out_dim
+        for stage, scale in zip(
+            (self.upsample0, self.upsample1, self.upsample2), (2, 1, 0)
+        ):
+            feat = _seq(stage, feat)
+            out = feat[..., -mo:]
+            flow0 = out[..., 0:2]
+            flow1 = out[..., 2:4]
+            occ1 = jax.nn.sigmoid(out[..., 4:5])
+            if scale != 0:
+                skips.append(feat[..., :-mo])
+            I_t_0 = ops.flow_warp(im0_list[scale], flow0)
+            I_t_1 = ops.flow_warp(im1_list[scale], flow1)
+            I_t = occ1 * I_t_0 + (1 - occ1) * I_t_1
+            im0_warped_list.insert(0, I_t_0)
+            im1_warped_list.insert(0, I_t_1)
+            im_t_list.insert(0, I_t)
+
+        residual = self.residual_refinement(
+            feat, im0, I_t_0, im1, I_t_1, I_t, skips
+        )
+        I_t = jnp.clip(I_t + residual, 0.0, 1.0)
+
+        return {
+            "I_t": I_t,
+            "im_t_list": im_t_list,  # fine -> coarse
+            "im0_warped_list": im0_warped_list,
+            "im1_warped_list": im1_warped_list,
+            "opt_flow_0": flow0,
+            "opt_flow_1": flow1,
+            "I_t_0": I_t_0,
+            "I_t_1": I_t_1,
+            "occ_mask1": occ1,
+            "occ_mask2": 1 - occ1,
+        }
