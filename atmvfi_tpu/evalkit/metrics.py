@@ -162,7 +162,9 @@ def msssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     w = jnp.asarray(_MSSSIM_WEIGHTS)
     pow1 = mcs**w
     pow2 = mssim**w
-    return jnp.prod(pow1[:-1]) * pow2[-1]
+    # reference quirk (pytorch_msssim.py:163): the broadcast multiplies
+    # pow2[-1] into every pow1 term before the product
+    return jnp.prod(pow1[:-1] * pow2[-1])
 
 
 def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:

