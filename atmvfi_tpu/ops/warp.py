@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,23 +61,36 @@ def grid_sample_bilinear(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    img_flat = img.reshape(B, H * W, C)
+    # One gather of [2, 2, C] corner blocks from a zero-padded image
+    # instead of 4 scalar-row gathers — ~4x fewer gather indices, and
+    # the zero border realizes the 'zeros' padding for near-edge taps.
+    # Far-out-of-range taps are handled by the per-tap validity weights.
+    img_pad = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ys = jnp.clip(y0i, -1, H - 1).reshape(B, Ho * Wo) + 1
+    xs = jnp.clip(x0i, -1, W - 1).reshape(B, Ho * Wo) + 1
+    starts = jnp.stack([ys, xs], axis=-1)  # [B, HoWo, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    blocks = jax.lax.gather(
+        img_pad, starts, dnums, slice_sizes=(1, 2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [B, HoWo, 2, 2, C]
+    blocks = blocks.reshape(B, Ho, Wo, 2, 2, C)
 
-    def tap(xi, yi, wgt):
+    def wgt(xi, yi, w):
         valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-        xc = jnp.clip(xi, 0, W - 1)
-        yc = jnp.clip(yi, 0, H - 1)
-        flat = (yc * W + xc).reshape(B, Ho * Wo)
-        vals = jnp.take_along_axis(img_flat, flat[..., None], axis=1)
-        vals = vals.reshape(B, Ho, Wo, C)
-        w_eff = jnp.where(valid, wgt, 0.0).astype(vals.dtype)
-        return vals * w_eff[..., None]
+        return jnp.where(valid, w, 0.0).astype(blocks.dtype)
 
     out = (
-        tap(x0i, y0i, (1 - wx1) * (1 - wy1))
-        + tap(x0i + 1, y0i, wx1 * (1 - wy1))
-        + tap(x0i, y0i + 1, (1 - wx1) * wy1)
-        + tap(x0i + 1, y0i + 1, wx1 * wy1)
+        blocks[..., 0, 0, :] * wgt(x0i, y0i, (1 - wx1) * (1 - wy1))[..., None]
+        + blocks[..., 0, 1, :] * wgt(x0i + 1, y0i, wx1 * (1 - wy1))[..., None]
+        + blocks[..., 1, 0, :] * wgt(x0i, y0i + 1, (1 - wx1) * wy1)[..., None]
+        + blocks[..., 1, 1, :] * wgt(x0i + 1, y0i + 1, wx1 * wy1)[..., None]
     ).astype(orig_dtype)
 
     if return_mask:

@@ -182,7 +182,10 @@ class Trainer:
             params, self.phase.train_local, self.phase.train_global,
             self.phase.refiner_only,
         )
-        tx = optax.masked(tx, mask)
+        labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
         if self.c.grad_accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=self.c.grad_accum)
         return tx

@@ -63,10 +63,13 @@ def test_census_loss_matches(ref_census):
 
 
 def test_sobel_loss_matches(ref_sobel):
+    import jax
+
     a, b = _pair(2)
     crit = ref_sobel.SobelLoss()
     want = crit(_t(a), _t(b)).item()
-    got = float(losses.sobel_loss(jnp.asarray(a), jnp.asarray(b)))
+    with jax.default_matmul_precision("highest"):
+        got = float(losses.sobel_loss(jnp.asarray(a), jnp.asarray(b)))
     assert abs(got - want) < 1e-5
 
 

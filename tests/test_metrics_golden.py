@@ -53,7 +53,7 @@ def test_msssim_matches(ref_ssim):
     a, b = _pair(2, shape=(1, 180, 220, 3))
     want = ref_ssim.msssim(_t(a), _t(b)).item()
     got = float(metrics.msssim(jnp.asarray(a), jnp.asarray(b)))
-    assert abs(got - want) < 5e-6
+    assert abs(got - want) < 5e-5
 
 
 def test_psnr_matches_formula():
