@@ -49,6 +49,21 @@ class InterpolationPipeline:
         )
         return jnp.clip(out["I_t"], 0.0, 1.0).astype(jnp.float32)
 
+    def set_window_sizes(self, local: int = None, global_: int = None,
+                         enhance: int = None) -> None:
+        """Reconfigure attention window sizes at runtime (params reused).
+
+        Parity: __set_local_window_size__ / __set_global_window_size__
+        (reference network_base.py:262-270). Triggers a recompile on
+        next call; weights are window-size independent.
+        """
+        self.cfg = self.cfg.with_windows(local, global_, enhance)
+        self.net = Network(self.cfg)
+        self._fwd = jax.jit(
+            self._forward,
+            static_argnames=("global_motion", "ensemble_global_motion"),
+        )
+
     # ------------------------------------------------------------------
     def interpolate_device(self, im0: jnp.ndarray, im1: jnp.ndarray) -> jnp.ndarray:
         """Padded NHWC float frames on device -> middle frame (device)."""

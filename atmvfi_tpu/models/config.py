@@ -62,6 +62,26 @@ class ATMVFIConfig:
     def with_dtype(self, dtype) -> "ATMVFIConfig":
         return dataclasses.replace(self, dtype=dtype)
 
+    def with_windows(self, local: int = None, global_: int = None,
+                     enhance: int = None) -> "ATMVFIConfig":
+        """Runtime window-size reconfiguration.
+
+        Equivalent of the reference's __set_local_window_size__ /
+        __set_global_window_size__ (network_base.py:262-270): window
+        sizes only affect trace-time constants (masks, relative
+        coords), never parameter shapes, so the same params work with
+        any window size — build a Network with the new config and
+        reuse the pytree.
+        """
+        kw = {}
+        if local is not None:
+            kw["local_window"] = local
+        if global_ is not None:
+            kw["global_window"] = global_
+        if enhance is not None:
+            kw["enhance_window"] = enhance
+        return dataclasses.replace(self, **kw)
+
 
 BASE = ATMVFIConfig()
 

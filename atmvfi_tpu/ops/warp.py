@@ -61,36 +61,36 @@ def grid_sample_bilinear(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    # One gather of [2, 2, C] corner blocks from a zero-padded image
-    # instead of 4 scalar-row gathers — ~4x fewer gather indices, and
-    # the zero border realizes the 'zeros' padding for near-edge taps.
-    # Far-out-of-range taps are handled by the per-tap validity weights.
-    img_pad = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    ys = jnp.clip(y0i, -1, H - 1).reshape(B, Ho * Wo) + 1
-    xs = jnp.clip(x0i, -1, W - 1).reshape(B, Ho * Wo) + 1
-    starts = jnp.stack([ys, xs], axis=-1)  # [B, HoWo, 2]
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4),
-        collapsed_slice_dims=(),
-        start_index_map=(1, 2),
-        operand_batching_dims=(0,),
-        start_indices_batching_dims=(0,),
-    )
-    blocks = jax.lax.gather(
-        img_pad, starts, dnums, slice_sizes=(1, 2, 2, C),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # [B, HoWo, 2, 2, C]
-    blocks = blocks.reshape(B, Ho, Wo, 2, 2, C)
+    # TPU-fast formulation: materialize a "corner block" image whose
+    # pixel (y+1, x+1) holds the 2x2xC bilinear footprint at (y, x)
+    # (four shifted copies — pure streaming, ~4x image bytes), then do
+    # ONE row-gather of 4C contiguous values per output pixel. Gathers
+    # on TPU are index-rate bound, so one 4C-row gather is ~2x faster
+    # than four C-row gathers (measured; scripts/warp_variants_bench).
+    # The zero border realizes the 'zeros' padding for near-edge taps;
+    # far-out-of-range taps are killed by the per-tap validity weights.
+    pad = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    blocks = jnp.concatenate(
+        [pad[:, :-1, :-1], pad[:, :-1, 1:], pad[:, 1:, :-1], pad[:, 1:, 1:]],
+        axis=-1,
+    )  # [B, H+2, W+2, 4C]
+    Hp, Wp = H + 2, W + 2
+    ys = jnp.clip(y0i, -1, H - 1) + 1
+    xs = jnp.clip(x0i, -1, W - 1) + 1
+    flat = (ys * Wp + xs).reshape(B, Ho * Wo)
+    g = jnp.take_along_axis(
+        blocks.reshape(B, Hp * Wp, 4 * C), flat[..., None], axis=1
+    ).reshape(B, Ho, Wo, 4, C)
 
     def wgt(xi, yi, w):
         valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-        return jnp.where(valid, w, 0.0).astype(blocks.dtype)
+        return jnp.where(valid, w, 0.0).astype(g.dtype)[..., None]
 
     out = (
-        blocks[..., 0, 0, :] * wgt(x0i, y0i, (1 - wx1) * (1 - wy1))[..., None]
-        + blocks[..., 0, 1, :] * wgt(x0i + 1, y0i, wx1 * (1 - wy1))[..., None]
-        + blocks[..., 1, 0, :] * wgt(x0i, y0i + 1, (1 - wx1) * wy1)[..., None]
-        + blocks[..., 1, 1, :] * wgt(x0i + 1, y0i + 1, wx1 * wy1)[..., None]
+        g[..., 0, :] * wgt(x0i, y0i, (1 - wx1) * (1 - wy1))
+        + g[..., 1, :] * wgt(x0i + 1, y0i, wx1 * (1 - wy1))
+        + g[..., 2, :] * wgt(x0i, y0i + 1, (1 - wx1) * wy1)
+        + g[..., 3, :] * wgt(x0i + 1, y0i + 1, wx1 * wy1)
     ).astype(orig_dtype)
 
     if return_mask:

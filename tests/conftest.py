@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import jax  # noqa: E402
+
+# jax 0.9 ignores the XLA_FLAGS spelling; the config option is canonical.
+if jax.config.jax_num_cpu_devices < 8:
+    jax.config.update("jax_num_cpu_devices", 8)
+
 # NOTE: golden tests that compare conv/matmul outputs against torch use
 # `with jax.default_matmul_precision("highest")` locally — the XLA CPU
 # default conv path downcasts and diverges ~1e-2 from torch f32.
