@@ -61,37 +61,57 @@ def grid_sample_bilinear(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    # TPU-fast formulation: materialize a "corner block" image whose
-    # pixel (y+1, x+1) holds the 2x2xC bilinear footprint at (y, x)
-    # (four shifted copies — pure streaming, ~4x image bytes), then do
-    # ONE row-gather of 4C contiguous values per output pixel. Gathers
-    # on TPU are index-rate bound, so one 4C-row gather is ~2x faster
-    # than four C-row gathers (measured; scripts/warp_variants_bench).
-    # The zero border realizes the 'zeros' padding for near-edge taps;
-    # far-out-of-range taps are killed by the per-tap validity weights.
-    pad = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
-    blocks = jnp.concatenate(
-        [pad[:, :-1, :-1], pad[:, :-1, 1:], pad[:, 1:, :-1], pad[:, 1:, 1:]],
-        axis=-1,
-    )  # [B, H+2, W+2, 4C]
-    Hp, Wp = H + 2, W + 2
-    ys = jnp.clip(y0i, -1, H - 1) + 1
-    xs = jnp.clip(x0i, -1, W - 1) + 1
-    flat = (ys * Wp + xs).reshape(B, Ho * Wo)
-    g = jnp.take_along_axis(
-        blocks.reshape(B, Hp * Wp, 4 * C), flat[..., None], axis=1
-    ).reshape(B, Ho, Wo, 4, C)
-
-    def wgt(xi, yi, w):
+    def wgt(xi, yi, w, dtype):
         valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-        return jnp.where(valid, w, 0.0).astype(g.dtype)[..., None]
+        return jnp.where(valid, w, 0.0).astype(dtype)[..., None]
 
-    out = (
-        g[..., 0, :] * wgt(x0i, y0i, (1 - wx1) * (1 - wy1))
-        + g[..., 1, :] * wgt(x0i + 1, y0i, wx1 * (1 - wy1))
-        + g[..., 2, :] * wgt(x0i, y0i + 1, (1 - wx1) * wy1)
-        + g[..., 3, :] * wgt(x0i + 1, y0i + 1, wx1 * wy1)
-    ).astype(orig_dtype)
+    if C <= 32:
+        # Small-C (images): TPU gathers are index-rate bound, so
+        # materialize a "corner block" image whose pixel (y+1, x+1)
+        # holds the 2x2xC bilinear footprint at (y, x) (four shifted
+        # copies — pure streaming) and do ONE row-gather of 4C
+        # contiguous values per output pixel — measured ~2x faster than
+        # four C-row gathers (scripts/warp_variants_bench.py). The zero
+        # border realizes 'zeros' padding for near-edge taps; far
+        # out-of-range taps are killed by the validity weights.
+        pad = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
+        blocks = jnp.concatenate(
+            [pad[:, :-1, :-1], pad[:, :-1, 1:], pad[:, 1:, :-1], pad[:, 1:, 1:]],
+            axis=-1,
+        )  # [B, H+2, W+2, 4C]
+        Hp, Wp = H + 2, W + 2
+        ys = jnp.clip(y0i, -1, H - 1) + 1
+        xs = jnp.clip(x0i, -1, W - 1) + 1
+        flat = (ys * Wp + xs).reshape(B, Ho * Wo)
+        g = jnp.take_along_axis(
+            blocks.reshape(B, Hp * Wp, 4 * C), flat[..., None], axis=1
+        ).reshape(B, Ho, Wo, 4, C)
+        out = (
+            g[..., 0, :] * wgt(x0i, y0i, (1 - wx1) * (1 - wy1), g.dtype)
+            + g[..., 1, :] * wgt(x0i + 1, y0i, wx1 * (1 - wy1), g.dtype)
+            + g[..., 2, :] * wgt(x0i, y0i + 1, (1 - wx1) * wy1, g.dtype)
+            + g[..., 3, :] * wgt(x0i + 1, y0i + 1, wx1 * wy1, g.dtype)
+        ).astype(orig_dtype)
+    else:
+        # Large-C (feature maps): rows are already wide, gathers are
+        # bytes-bound — four per-tap row gathers avoid the 4x byte
+        # blow-up of the corner-block form.
+        img_flat = img.reshape(B, H * W, C)
+
+        def tap(xi, yi, w):
+            xc = jnp.clip(xi, 0, W - 1)
+            yc = jnp.clip(yi, 0, H - 1)
+            flat = (yc * W + xc).reshape(B, Ho * Wo)
+            vals = jnp.take_along_axis(img_flat, flat[..., None], axis=1)
+            vals = vals.reshape(B, Ho, Wo, C)
+            return vals * wgt(xi, yi, w, vals.dtype)
+
+        out = (
+            tap(x0i, y0i, (1 - wx1) * (1 - wy1))
+            + tap(x0i + 1, y0i, wx1 * (1 - wy1))
+            + tap(x0i, y0i + 1, (1 - wx1) * wy1)
+            + tap(x0i + 1, y0i + 1, wx1 * wy1)
+        ).astype(orig_dtype)
 
     if return_mask:
         # Parity with bilinear_sample(return_mask=True): mask of samples

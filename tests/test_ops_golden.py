@@ -45,10 +45,11 @@ def test_upsample_flow_parity():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
 
 
-@pytest.mark.parametrize("flow_scale", [0.0, 0.3, 3.7, 25.0])
-def test_flow_warp_matches_grid_sample(flow_scale):
+@pytest.mark.parametrize("flow_scale,C", [(0.0, 4), (0.3, 4), (3.7, 4),
+                                          (25.0, 4), (3.7, 40)])
+def test_flow_warp_matches_grid_sample(flow_scale, C):
     rng = np.random.default_rng(3)
-    B, H, W, C = 2, 13, 17, 4
+    B, H, W = 2, 13, 17
     feat = rng.standard_normal((B, H, W, C), dtype=np.float32)
     flow = (rng.standard_normal((B, H, W, 2)) * flow_scale).astype(np.float32)
 
