@@ -65,7 +65,11 @@ def grid_sample_bilinear(
         valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
         return jnp.where(valid, w, 0.0).astype(dtype)[..., None]
 
-    if C <= 32:
+    # Corner-block gather pays 4x image bytes for ~2x fewer effective
+    # index ops — a win for small-C images until HBM pressure at very
+    # large resolutions makes the extra 4x materialization trigger
+    # rematerialization (4K-class inputs measured slower with it).
+    if C <= 32 and H * W <= 2**22:
         # Small-C (images): TPU gathers are index-rate bound, so
         # materialize a "corner block" image whose pixel (y+1, x+1)
         # holds the 2x2xC bilinear footprint at (y, x) (four shifted

@@ -1,0 +1,71 @@
+"""End-to-end pipeline smoke on the bundled example frames (lite, CPU)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from atmvfi_tpu.infer.pipeline import InterpolationPipeline
+from atmvfi_tpu.models import Network, get_config
+from atmvfi_tpu.utils.images import read_image
+
+ASSET0 = "/root/reference/asset/example_frame0.png"
+ASSET1 = "/root/reference/asset/example_frame1.png"
+
+
+@pytest.fixture(scope="module")
+def lite_pipeline():
+    cfg = get_config("lite")
+    net = Network(cfg)
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), dummy, dummy)
+    return InterpolationPipeline(
+        variables, variant="lite", dtype=jnp.float32, global_motion=False
+    )
+
+
+@pytest.mark.skipif(not os.path.exists(ASSET0), reason="asset frames absent")
+def test_interpolate_example_frames(lite_pipeline):
+    img0 = read_image(ASSET0)
+    img1 = read_image(ASSET1)
+    # downscale for CPU test speed
+    img0 = img0[::4, ::4]
+    img1 = img1[::4, ::4]
+    mid = lite_pipeline.interpolate(img0, img1)
+    assert mid.shape == img0.shape
+    assert mid.dtype == np.uint8
+
+
+def test_interpolate_stream_2x(lite_pipeline):
+    rng = np.random.default_rng(0)
+    frames = [(rng.random((40, 56, 3)) * 255).astype(np.uint8) for _ in range(3)]
+    out = list(lite_pipeline.interpolate_stream(iter(frames), factor=2))
+    # N inputs -> 2*(N-1)+1 outputs; even outputs are the source frames
+    assert len(out) == 5
+    for i, src in zip((0, 2, 4), frames):
+        np.testing.assert_array_equal(out[i], src)
+    assert all(f.shape == frames[0].shape for f in out)
+
+
+def test_interpolate_stream_4x(lite_pipeline):
+    rng = np.random.default_rng(1)
+    frames = [(rng.random((40, 56, 3)) * 255).astype(np.uint8) for _ in range(2)]
+    out = list(lite_pipeline.interpolate_stream(iter(frames), factor=4))
+    assert len(out) == 5
+    np.testing.assert_array_equal(out[0], frames[0])
+    np.testing.assert_array_equal(out[4], frames[1])
+
+
+def test_window_reconfig_reuses_params(lite_pipeline):
+    rng = np.random.default_rng(2)
+    img0 = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    img1 = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    base = lite_pipeline.interpolate(img0, img1)
+    lite_pipeline.set_window_sizes(local=6, global_=8)
+    changed = lite_pipeline.interpolate(img0, img1)
+    assert base.shape == changed.shape
+    lite_pipeline.set_window_sizes(local=8, global_=12)
+    back = lite_pipeline.interpolate(img0, img1)
+    np.testing.assert_array_equal(base, back)
