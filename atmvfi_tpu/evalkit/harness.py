@@ -147,7 +147,8 @@ def _area_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def run_xiph(pipeline: InterpolationPipeline, root: str,
              categories=("resized-2k", "cropped-4k"), tta: bool = False,
-             clips=XIPH_CLIPS, frame_limit: Optional[int] = None) -> Dict:
+             clips=XIPH_CLIPS, frame_limit: Optional[int] = None,
+             resize_to=(2048, 1080), crop_margin=(540, 1024)) -> Dict:
     """test_xiph.py protocol: pad 32, even frames from odd neighbors.
 
     Expects `root/<clip>/NNN.png` frame dumps (the reference extracts
@@ -173,11 +174,12 @@ def run_xiph(pipeline: InterpolationPipeline, root: str,
                     continue
                 if category == "resized-2k":
                     img0, img1, imgt = (
-                        _area_resize(im, 2048, 1080) for im in (img0, img1, imgt)
+                        _area_resize(im, *resize_to) for im in (img0, img1, imgt)
                     )
                 else:  # cropped-4k center crop
+                    mh, mw = crop_margin
                     img0, img1, imgt = (
-                        im[540:-540, 1024:-1024] for im in (img0, img1, imgt)
+                        im[mh:-mh, mw:-mw] for im in (img0, img1, imgt)
                     )
                 x0, x1, xt = (_to_unit(im) for im in (img0, img1, imgt))
                 padder = InputPadder(x0.shape, divisor=32)

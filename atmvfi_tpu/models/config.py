@@ -32,6 +32,9 @@ class ATMVFIConfig:
     refine_hidden: int = 64
     # numerics
     dtype: jnp.dtype = jnp.float32  # compute dtype (params stay f32)
+    # attention backend: "auto" (pallas on TPU, xla elsewhere),
+    # "pallas" (forced; interpret-mode off-TPU), or "xla"
+    attention_impl: str = "auto"
 
     # ---- derived quantities ----
     @property

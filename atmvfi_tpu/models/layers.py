@@ -178,7 +178,9 @@ class AttentionToMotion(nn.Module):
     The core ATM op (attention.py:126-213): appearance = attn @ v;
     motion = per-head expected in-window displacement
     sum_k attn[q,k] * (coord_k - coord_q), reduced over heads by a tiny
-    shared MLP per direction.
+    shared MLP per direction. On TPU the probability tensor never hits
+    HBM: the fused Pallas kernel (ops/attention_pallas.py) emits both
+    outputs in one pass.
     """
 
     dim: int
@@ -186,9 +188,15 @@ class AttentionToMotion(nn.Module):
     num_heads: int = 8
     qkv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x1, x2, mask=None):
+        from atmvfi_tpu.ops.attention_pallas import (
+            fused_window_attention,
+            resolve_attention_impl,
+        )
+
         B, N, C = x1.shape
         h = self.num_heads
         hd = C // h
@@ -201,13 +209,25 @@ class AttentionToMotion(nn.Module):
         k = kv[:, :, 0].transpose(0, 2, 1, 3)
         v = kv[:, :, 1].transpose(0, 2, 1, 3)
 
-        attn = attention_probs(q, k, scale, mask)  # f32 [B, h, N, N]
-        out = jnp.einsum("bhqk,bhkd->bqhd", attn.astype(self.dtype), v)
-        out = dense(C, "proj")(out.reshape(B, N, C))
-
         rel = ops.relative_coords(self.window_size)  # [2, N, N] f32
-        motion = jnp.einsum("bhqk,dqk->bdqh", attn, rel)  # [B, 2, N, h] f32
-        motion = motion.astype(self.dtype)
+        use_pallas, interpret = resolve_attention_impl(self.attn_impl)
+        if use_pallas:
+            mask_exp = (
+                None if mask is None
+                else jnp.tile(mask, (B // mask.shape[0], 1, 1))
+            )
+            out, motion = fused_window_attention(
+                q, k, v, scale, rel, mask_exp, 8, interpret
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            motion = motion.astype(self.dtype).transpose(0, 3, 2, 1)
+        else:
+            attn = attention_probs(q, k, scale, mask)  # f32 [B, h, N, N]
+            out = jnp.einsum("bhqk,bhkd->bqhd", attn.astype(self.dtype), v)
+            out = out.reshape(B, N, C)
+            motion = jnp.einsum("bhqk,dqk->bdqh", attn, rel)  # [B,2,N,h] f32
+            motion = motion.astype(self.dtype)
+        out = dense(C, "proj")(out)
         m = dense(h // 2, "mlp_fc1")(motion)
         m = gelu(m)
         m = dense(1, "mlp_fc2")(m)  # [B, 2, N, 1]
@@ -222,9 +242,15 @@ class WindowAttention(nn.Module):
     num_heads: int = 8
     qkv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, mask=None):
+        from atmvfi_tpu.ops.attention_pallas import (
+            fused_window_attention,
+            resolve_attention_impl,
+        )
+
         B, N, C = x.shape
         h = self.num_heads
         hd = C // h
@@ -236,8 +262,19 @@ class WindowAttention(nn.Module):
         q = qkv[:, :, 0].transpose(0, 2, 1, 3)
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
         v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-        attn = attention_probs(q, k, scale, mask)
-        out = jnp.einsum("bhqk,bhkd->bqhd", attn.astype(self.dtype), v)
+        use_pallas, interpret = resolve_attention_impl(self.attn_impl)
+        if use_pallas:
+            mask_exp = (
+                None if mask is None
+                else jnp.tile(mask, (B // mask.shape[0], 1, 1))
+            )
+            out, _ = fused_window_attention(
+                q, k, v, scale, None, mask_exp, 8, interpret
+            )
+            out = out.transpose(0, 2, 1, 3)
+        else:
+            attn = attention_probs(q, k, scale, mask)
+            out = jnp.einsum("bhqk,bhkd->bqhd", attn.astype(self.dtype), v)
         return dense(C, "proj")(out.reshape(B, N, C))
 
 
@@ -279,6 +316,7 @@ class ATMFormer(_SwinShell):
     num_heads: int = 8
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -294,6 +332,7 @@ class ATMFormer(_SwinShell):
             self.window_size,
             num_heads=self.num_heads,
             dtype=self.dtype,
+            attn_impl=self.attn_impl,
             name="attn",
         )(x_norm, x_rev, mask)
         x_norm = x_norm + app
@@ -315,6 +354,7 @@ class RefineBottleneck(_SwinShell):
     num_heads: int = 8
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C] -> [B, H, W, C]
@@ -324,7 +364,8 @@ class RefineBottleneck(_SwinShell):
         x_win = ops.window_partition(x_pad, (self.window_size, self.window_size))
         x_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x_win)
         app = WindowAttention(
-            self.dim, num_heads=self.num_heads, dtype=self.dtype, name="attn"
+            self.dim, num_heads=self.num_heads, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="attn",
         )(x_norm, mask)
         x_norm = x_norm + app
         x_out = self._epilogue(x_norm, Hp, Wp, H, W)

@@ -87,6 +87,7 @@ class Network(nn.Module):
             RefineBottleneck(
                 dim=fused, window_size=c.enhance_window, shift_size=s,
                 num_heads=c.num_heads, mlp_ratio=c.mlp_ratio, dtype=dt,
+                attn_impl=c.attention_impl,
             )
             for s in (0, c.enhance_window // 2)
         ]
@@ -94,6 +95,7 @@ class Network(nn.Module):
             ATMFormer(
                 dim=fused, window_size=c.local_window, shift_size=s,
                 num_heads=c.num_heads, mlp_ratio=c.mlp_ratio, dtype=dt,
+                attn_impl=c.attention_impl,
             )
             for s in (0, c.local_window // 2)
         ]
@@ -120,6 +122,7 @@ class Network(nn.Module):
             ATMFormer(
                 dim=gdim, window_size=c.global_window, shift_size=s,
                 num_heads=c.num_heads, mlp_ratio=c.mlp_ratio, dtype=dt,
+                attn_impl=c.attention_impl,
             )
             for s in (0, c.global_window // 2)
         ]

@@ -1,0 +1,186 @@
+"""Fused window attention + attention-to-motion Pallas TPU kernel.
+
+The ATM operator (reference attention.py:187-213) needs, per window and
+head: softmax(q k^T / sqrt(d) + mask), then BOTH the appearance output
+`attn @ v` and the motion moment `sum_k attn[q,k] * rel[d,q,k]`. The
+XLA path materializes the [BW, h, N, N] probability tensor in HBM
+between those consumers; this kernel keeps it in VMEM and emits both
+outputs in one pass (one HBM read of q/k/v(/mask), one write of
+out/motion).
+
+Grid: (window blocks, heads); each step processes `block_windows`
+whole windows for one head. N in {64, 144} and head_dim <= 128, so all
+per-window matmuls fit VMEM; softmax accumulates in f32.
+
+A custom VJP falls back to the pure-jnp reference implementation for
+the backward pass (training), so the kernel is inference-fast and
+training-correct.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def resolve_attention_impl(impl: str) -> Tuple[bool, bool]:
+    """-> (use_pallas, interpret). 'auto' = pallas on TPU, xla elsewhere."""
+    if impl == "pallas":
+        return True, jax.default_backend() != "tpu"
+    if impl == "xla":
+        return False, False
+    return jax.default_backend() == "tpu", False
+
+
+def reference_window_attention(q, k, v, scale, rel=None, mask=None):
+    """Pure-jnp reference: q,k,v [BW,h,N,d]; mask [BW,N,N]; rel [2,N,N]."""
+    attn = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        attn = attn + mask[:, None].astype(attn.dtype)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(q.dtype), v)
+    motion = None
+    if rel is not None:
+        motion = jnp.einsum("bhqk,dqk->bhqd", attn, rel.astype(jnp.float32))
+        motion = motion.astype(q.dtype)  # [BW, h, N, 2]
+    return out, motion
+
+
+def _kernel(q_ref, k_ref, v_ref, rel_ref, mask_ref, out_ref, motion_ref,
+            *, scale, block_windows, with_motion, with_mask):
+    for w in range(block_windows):
+        q = q_ref[w, 0]
+        k = k_ref[w, 0]
+        attn = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if with_mask:
+            attn = attn + mask_ref[w].astype(jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)  # f32 [N, N]
+        a = attn.astype(v_ref.dtype)
+        out_ref[w, 0] = jax.lax.dot_general(
+            a, v_ref[w, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+        if with_motion:
+            mx = jnp.sum(attn * rel_ref[0].astype(jnp.float32), axis=-1)
+            my = jnp.sum(attn * rel_ref[1].astype(jnp.float32), axis=-1)
+            motion_ref[w, 0] = jnp.stack([mx, my], axis=-1).astype(
+                motion_ref.dtype
+            )
+
+
+def _pad_windows(x, bw_pad):
+    pad = bw_pad - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 6, 7)
+)
+def fused_window_attention(q, k, v, scale, rel, mask,
+                           block_windows: int = 8, interpret: bool = False):
+    """q,k,v: [BW, h, N, d]; rel: [2,N,N] or None; mask: [BW,N,N] or None.
+
+    Returns (out [BW,h,N,d], motion [BW,h,N,2] or None).
+    """
+    return _forward(q, k, v, scale, rel, mask, block_windows, interpret)
+
+
+def _forward(q, k, v, scale, rel, mask, block_windows, interpret):
+    BW, h, N, d = q.shape
+    with_motion = rel is not None
+    with_mask = mask is not None
+    wb = min(block_windows, BW)
+    bw_pad = ((BW + wb - 1) // wb) * wb
+    qp = _pad_windows(q, bw_pad)
+    kp = _pad_windows(k, bw_pad)
+    vp = _pad_windows(v, bw_pad)
+    args = [qp, kp, vp]
+    in_specs = [
+        pl.BlockSpec((wb, 1, N, d), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(3)
+    ]
+    if with_motion:
+        args.append(rel)
+        in_specs.append(
+            pl.BlockSpec((2, N, N), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        args.append(jnp.zeros((1, 1), q.dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if with_mask:
+        args.append(_pad_windows(mask.astype(jnp.bfloat16), bw_pad))
+        in_specs.append(
+            pl.BlockSpec((wb, N, N), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        args.append(jnp.zeros((1, 1), q.dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _kernel, scale=scale, block_windows=wb,
+        with_motion=with_motion, with_mask=with_mask,
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((bw_pad, h, N, d), q.dtype),
+        jax.ShapeDtypeStruct((bw_pad, h, N, 2) if with_motion else (1, 1, 1, 1),
+                             q.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((wb, 1, N, d), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, 1, N, 2), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if with_motion
+        else pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out, motion = pl.pallas_call(
+        kernel,
+        grid=(bw_pad // wb, h),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+    out = out[:BW]
+    motion = motion[:BW] if with_motion else None
+    return out, motion
+
+
+def _fwd_rule(q, k, v, scale, rel, mask, block_windows, interpret):
+    out = _forward(q, k, v, scale, rel, mask, block_windows, interpret)
+    return out, (q, k, v, rel, mask)
+
+
+def _bwd_rule(scale, block_windows, interpret, residuals, grads):
+    q, k, v, rel, mask = residuals
+    g_out, g_motion = grads
+
+    def ref(q, k, v):
+        out, motion = reference_window_attention(q, k, v, scale, rel, mask)
+        if motion is None:
+            return (out,)
+        return (out, motion)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    if rel is None:
+        dq, dk, dv = vjp((g_out,))
+    else:
+        dq, dk, dv = vjp((g_out, g_motion))
+    return dq, dk, dv, None, None
+
+
+fused_window_attention.defvjp(_fwd_rule, _bwd_rule)

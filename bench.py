@@ -2,13 +2,14 @@
 
 Measures steady-state frames/sec of the base model (global motion on,
 bf16 compute) at 4K (3840x2160 padded to /64 per the demo protocol,
-demo_2x.py:74) — the BASELINE.json north-star is >=30 fps/chip.
+demo_2x.py:74) plus 1080p and the lite variant for context. Uses
+distinct pre-uploaded inputs per call (the serving pattern; also avoids
+any transport-level request dedup).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Extra context lines go to stderr.
+Context lines go to stderr.
 """
 import json
-import os
 import sys
 import time
 
@@ -19,62 +20,78 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_resolution(pipeline, h, w, iters=8, warmup=2):
+def build(variant):
+    import jax
+    import jax.numpy as jnp
+
+    from atmvfi_tpu.models import Network, get_config
+
+    cfg = get_config(variant, dtype=jnp.bfloat16)
+    net = Network(cfg)
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(
+        lambda a, b: net.init(rng, a, b, global_motion=True)
+    )(dummy, dummy)
+    jax.block_until_ready(variables)
+    fwd = jax.jit(
+        lambda v, a, b: net.apply(v, a, b, global_motion=True)["I_t"]
+    )
+    return variables, fwd
+
+
+def bench_resolution(variables, fwd, h, w, iters):
     import jax
     import jax.numpy as jnp
 
     from atmvfi_tpu.infer.padder import InputPadder
 
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.random((1, h, w, 3), np.float32))
-    x1 = jnp.asarray(rng.random((1, h, w, 3), np.float32))
-    padder = InputPadder(x0.shape, divisor=64)
-    x0, x1 = padder.pad(x0, x1)
+    padder = InputPadder((1, h, w, 3), divisor=64)
+    ph, pw = padder.padded_shape
+    xs = [
+        jnp.asarray(rng.random((1, ph, pw, 3), np.float32))
+        for _ in range(iters)
+    ]
     t0 = time.time()
-    out = pipeline.interpolate_device(x0, x1)
+    out = fwd(variables, xs[0], xs[0])
     out.block_until_ready()
-    log(f"  first call (compile+run) at {h}x{w}: {time.time()-t0:.1f}s")
-    for _ in range(warmup):
-        pipeline.interpolate_device(x0, x1).block_until_ready()
+    log(f"  first call (compile+run) {h}x{w}: {time.time()-t0:.1f}s")
+    fwd(variables, xs[-1], xs[-1]).block_until_ready()  # warm
     t0 = time.time()
-    for _ in range(iters):
-        out = pipeline.interpolate_device(x0, x1)
-    out.block_until_ready()
+    outs = [fwd(variables, x, x) for x in xs]
+    jax.block_until_ready(outs)
     dt = (time.time() - t0) / iters
     return 1.0 / dt
 
 
 def main():
     import jax
-    import jax.numpy as jnp
-
-    from atmvfi_tpu.infer.pipeline import InterpolationPipeline
-    from atmvfi_tpu.models import Network, get_config
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    cfg = get_config("base", dtype=jnp.bfloat16)
-    net = Network(cfg)
-    rng = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    variables = net.init(rng, dummy, dummy, global_motion=True)
-    pipeline = InterpolationPipeline(
-        variables, variant="base", dtype=jnp.bfloat16, global_motion=True
-    )
+    variables, fwd = build("base")
+    fps_1080 = bench_resolution(variables, fwd, 1080, 1920, 8)
+    log(f"base 1080p 2x interp: {fps_1080:.2f} fps/chip")
+    fps_4k = bench_resolution(variables, fwd, 2160, 3840, 4)
+    log(f"base 4K 2x interp: {fps_4k:.2f} fps/chip")
 
-    fps_1080 = bench_resolution(pipeline, 1080, 1920)
-    log(f"1080p 2x interp: {fps_1080:.2f} fps/chip")
-
-    fps_4k = bench_resolution(pipeline, 2160, 3840, iters=5)
-    log(f"4K 2x interp: {fps_4k:.2f} fps/chip")
+    lvars, lfwd = build("lite")
+    lite_1080 = bench_resolution(lvars, lfwd, 1080, 1920, 8)
+    lite_4k = bench_resolution(lvars, lfwd, 2160, 3840, 4)
+    log(f"lite 1080p {lite_1080:.2f} fps | lite 4K {lite_4k:.2f} fps")
 
     result = {
         "metric": "fps_4k_2x_base_bf16",
         "value": round(fps_4k, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps_4k / 30.0, 3),
-        "extra": {"fps_1080p": round(fps_1080, 3)},
+        "extra": {
+            "base_fps_1080p": round(fps_1080, 3),
+            "lite_fps_1080p": round(lite_1080, 3),
+            "lite_fps_4k": round(lite_4k, 3),
+        },
     }
     print(json.dumps(result))
 

@@ -1,0 +1,91 @@
+"""Fused Pallas attention kernel vs the pure-jnp reference (interpret)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from atmvfi_tpu.ops.attention_pallas import (
+    fused_window_attention,
+    reference_window_attention,
+    resolve_attention_impl,
+)
+
+
+def _inputs(seed, BW=5, h=4, N=64, d=32, with_mask=True):
+    rng = np.random.default_rng(seed)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((BW, h, N, d)), jnp.float32)
+        for _ in range(3)
+    )
+    mask = None
+    if with_mask:
+        nW = BW  # pre-expanded mask
+        m = np.zeros((nW, N, N), np.float32)
+        m[:, : N // 2, N // 2 :] = -100.0
+        mask = jnp.asarray(m)
+    return q, k, v, mask
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("with_motion", [False, True])
+def test_kernel_matches_reference(with_mask, with_motion):
+    N, d = 64, 32
+    q, k, v, mask = _inputs(0, with_mask=with_mask, N=N, d=d)
+    rel = None
+    if with_motion:
+        from atmvfi_tpu import ops
+
+        rel = ops.relative_coords(8)  # 8x8 window -> N=64
+    scale = d**-0.5
+    with jax.default_matmul_precision("highest"):
+        out, motion = fused_window_attention(
+            q, k, v, scale, rel, mask, 2, True  # interpret mode
+        )
+        want_out, want_motion = reference_window_attention(
+            q, k, v, scale, rel, mask
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               atol=2e-5, rtol=2e-5)
+    if with_motion:
+        np.testing.assert_allclose(np.asarray(motion), np.asarray(want_motion),
+                                   atol=2e-4, rtol=2e-4)
+    else:
+        assert motion is None
+
+
+def test_kernel_pads_ragged_window_count():
+    # BW=5 not divisible by block 2 -> padded internally, sliced back
+    q, k, v, mask = _inputs(1, BW=5, with_mask=False)
+    scale = 32**-0.5
+    out, _ = fused_window_attention(q, k, v, scale, None, None, 2, True)
+    want, _ = reference_window_attention(q, k, v, scale, None, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_custom_vjp_falls_back_to_reference():
+    q, k, v, mask = _inputs(2, BW=2, N=16, d=8, with_mask=False)
+    scale = 8**-0.5
+
+    def loss_pallas(q, k, v):
+        out, _ = fused_window_attention(q, k, v, scale, None, None, 2, True)
+        return jnp.sum(out**2)
+
+    def loss_ref(q, k, v):
+        out, _ = reference_window_attention(q, k, v, scale, None, None)
+        return jnp.sum(out**2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_resolver():
+    assert resolve_attention_impl("xla") == (False, False)
+    use, interp = resolve_attention_impl("pallas")
+    assert use is True
+    auto_use, _ = resolve_attention_impl("auto")
+    assert auto_use == (jax.default_backend() == "tpu")
