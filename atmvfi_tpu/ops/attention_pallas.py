@@ -28,12 +28,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def resolve_attention_impl(impl: str) -> Tuple[bool, bool]:
-    """-> (use_pallas, interpret). 'auto' = pallas on TPU, xla elsewhere."""
+    """-> (use_pallas, interpret).
+
+    'auto' currently selects the XLA path: measured on v5e, the fused
+    kernel is 1.6x faster standalone at N=144 (global window) but the
+    q/k/v layout transitions at the model level erase the win for the
+    N=64 local windows (254 vs 237 ms at 1080p). Force 'pallas' to use
+    the kernel; revisit 'auto' once the projections emit kernel-native
+    [BW, h, N, d] blocks directly.
+    """
     if impl == "pallas":
         return True, jax.default_backend() != "tpu"
-    if impl == "xla":
-        return False, False
-    return jax.default_backend() == "tpu", False
+    return False, False
 
 
 def reference_window_attention(q, k, v, scale, rel=None, mask=None):
