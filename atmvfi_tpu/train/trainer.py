@@ -262,9 +262,27 @@ class Trainer:
             meters.update({k: float(v) for k, v in metrics.items()})
         return {k: m.avg for k, m in meters.meter_dict.items()}
 
+    def visualize_batch(self, im0, gt, im1, out_dir: str, index: int) -> str:
+        """Validation montage like the reference visualizer
+        (trainer.py:280-343): inputs, prediction, GT, flows, occlusion."""
+        from atmvfi_tpu.utils.visualize import save_prediction
+
+        out = jax.jit(
+            self.net.apply, static_argnames=("global_motion",)
+        )({"params": self.state.params}, jnp.asarray(im0), jnp.asarray(im1),
+          global_motion=self.phase.global_motion)
+        pred = np.asarray(out["I_t"][0], np.float32)
+        p = float(psnr_metric(out["I_t"][:1], jnp.asarray(gt[:1])))
+        return save_prediction(
+            im0[0], im1[0], pred, gt[0], out_dir, index, psnr=p,
+            flow0=np.asarray(out["opt_flow_0"][0], np.float32),
+            flow1=np.asarray(out["opt_flow_1"][0], np.float32),
+            occ=np.asarray(out["occ_mask1"][0], np.float32),
+        )
+
     def fit(self, train_loaders: Sequence, val_loader,
             max_iters: Optional[int] = None, log_fn: Callable = print,
-            checkpoint_prefix: str = "") -> List[Dict]:
+            checkpoint_prefix: str = "", viz_dir: Optional[str] = None) -> List[Dict]:
         """Full loop: alternate datasets per epoch, validate, checkpoint."""
         os.makedirs(self.c.checkpoint_dir, exist_ok=True)
         history = []
@@ -273,6 +291,10 @@ class Trainer:
             t0 = time.time()
             train_m = self.train_epoch(loader, max_iters)
             val_m = self.eval_epoch(val_loader, max_iters)
+            if viz_dir is not None:
+                for im0, gt, im1 in val_loader:
+                    self.visualize_batch(im0, gt, im1, viz_dir, epoch)
+                    break
             dt = time.time() - t0
             record = {"epoch": epoch, "train": train_m, "val": val_m, "sec": dt}
             history.append(record)

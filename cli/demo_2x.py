@@ -84,12 +84,17 @@ def main():
             f for f in os.listdir(args.frames_dir)
             if f.lower().endswith((".png", ".jpg", ".jpeg"))
         )
-        frames = (read_image(os.path.join(args.frames_dir, n)) for n in names)
+        sources = [read_image(os.path.join(args.frames_dir, n)) for n in names]
         os.makedirs(args.out, exist_ok=True)
         count = 0
         for i, frame in enumerate(
-            pipeline.interpolate_stream(frames, factor=args.factor)
+            pipeline.interpolate_stream(iter(sources), factor=args.factor)
         ):
+            if args.combine_video:
+                # stacked comparison: source (held N frames) above output
+                # (reference combine_frame_vert, demo_2x.py:89-98)
+                src = sources[min(i // args.factor, len(sources) - 1)]
+                frame = np.concatenate([src, frame], axis=0)
             write_image(os.path.join(args.out, f"{i:06d}.png"), frame)
             count += 1
         print(f"wrote {count} frames to {args.out}/")
