@@ -35,12 +35,24 @@ from atmvfi_tpu.utils.images import read_image
 from atmvfi_tpu.utils.meters import AverageMeter
 
 
-def _forward_tta(pipeline: InterpolationPipeline, x0, x1, tta: bool):
+def _forward_tta(pipeline: InterpolationPipeline, x0, x1, tta: bool,
+                 tta_swaporder: bool = False):
+    """Doubly-flipped TTA average (+ optional frame-order swap average).
+
+    The reference's --TTA path calls a nonexistent `model.inference`
+    (test_vimeo90k.py:109-116, broken as shipped); this is the working
+    equivalent of its intent.
+    """
+    flip = lambda t: t[:, ::-1, ::-1, :]
     pred = pipeline.interpolate_device(x0, x1)
     if tta:
-        flip = lambda t: t[:, ::-1, ::-1, :]
         pred_f = pipeline.interpolate_device(flip(x0), flip(x1))
         pred = (pred + flip(pred_f)) / 2
+    if tta_swaporder:
+        pred_sa = pipeline.interpolate_device(x1, x0)
+        pred_sa_f = pipeline.interpolate_device(flip(x1), flip(x0))
+        pred_sa = (pred_sa + flip(pred_sa_f)) / 2
+        pred = (pred + pred_sa) / 2
     return pred
 
 
@@ -50,7 +62,7 @@ def _to_unit(img: np.ndarray) -> jnp.ndarray:
 
 def run_vimeo90k(pipeline: InterpolationPipeline, path: str,
                  tta: bool = False, limit: Optional[int] = None,
-                 progress: bool = True) -> Dict:
+                 progress: bool = True, tta_swaporder: bool = False) -> Dict:
     """test_vimeo90k.py protocol (global off enforced by caller)."""
     psnr_m, ssim_m = AverageMeter(), AverageMeter()
     with open(os.path.join(path, "tri_testlist.txt")) as f:
@@ -62,7 +74,7 @@ def run_vimeo90k(pipeline: InterpolationPipeline, path: str,
         I0 = _to_unit(read_image(os.path.join(base, "im1.png")))
         I1 = read_image(os.path.join(base, "im2.png"))
         I2 = _to_unit(read_image(os.path.join(base, "im3.png")))
-        pred = _forward_tta(pipeline, I0, I2, tta)
+        pred = _forward_tta(pipeline, I0, I2, tta, tta_swaporder)
         ssim = float(metrics.ssim_matlab(_to_unit(I1), pred))
         mid = np.asarray(pred[0], np.float64)
         gt = I1.astype(np.float64) / 255.0

@@ -48,6 +48,24 @@ def tensor2img(t) -> np.ndarray:
     return np.clip(arr * 255.0, 0, 255).astype(np.uint8)
 
 
+def check_dim_and_resize(images):
+    """Resize a list of [H, W, C] images to a common size if they differ
+    (reference benchmark/utils.py:284-300)."""
+    shapes = {im.shape[:2] for im in images}
+    if len(shapes) == 1:
+        return list(images)
+    from PIL import Image
+
+    h = min(s[0] for s in shapes)
+    w = min(s[1] for s in shapes)
+    out = []
+    for im in images:
+        if im.shape[:2] != (h, w):
+            im = np.asarray(Image.fromarray(im).resize((w, h), Image.BILINEAR))
+        out.append(im)
+    return out
+
+
 def round_to_uint8(t) -> np.ndarray:
     """Rounding used by inference_2frame (demo_2x.py:80-81)."""
     arr = np.asarray(t)

@@ -21,6 +21,7 @@ def main():
     p.add_argument("--ckpt", required=True)
     p.add_argument("--model_type", choices=["base", "lite"], default="base")
     p.add_argument("--TTA", action="store_true")
+    p.add_argument("--TTA_swaporder", action="store_true")
     p.add_argument("--ensemble_global", action="store_true")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--fp32", action="store_true")
@@ -46,7 +47,8 @@ def main():
     )
 
     if args.dataset == "vimeo90k":
-        res = harness.run_vimeo90k(pipeline, args.path, args.TTA, args.limit)
+        res = harness.run_vimeo90k(pipeline, args.path, args.TTA, args.limit,
+                                   tta_swaporder=args.TTA_swaporder)
     elif args.dataset == "ucf101":
         res = harness.run_ucf101(pipeline, args.path, args.TTA, args.limit)
     elif args.dataset == "snufilm":
