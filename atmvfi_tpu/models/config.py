@@ -35,6 +35,9 @@ class ATMVFIConfig:
     # attention backend: "auto" (pallas on TPU, xla elsewhere),
     # "pallas" (forced; interpret-mode off-TPU), or "xla"
     attention_impl: str = "auto"
+    # backward-warp backend: "auto" (tiled Pallas kernel on TPU for
+    # narrow tensors, xla otherwise), "tiled", or "xla"
+    warp_impl: str = "auto"
 
     # ---- derived quantities ----
     @property

@@ -172,6 +172,11 @@ class Network(nn.Module):
         self.up3 = [Deconv2x(hid, dtype=dt)]
         self.refine_head = [ConvPReLU(hid, dtype=dt), ConvPReLU(3, dtype=dt)]
 
+    def _warp(self, feature, flow):
+        from atmvfi_tpu.ops.warp_pallas import flow_warp_dispatch
+
+        return flow_warp_dispatch(feature, flow, impl=self.cfg.warp_impl)
+
     # ------------------------------------------------------------------
     # sub-towers
     # ------------------------------------------------------------------
@@ -245,8 +250,8 @@ class Network(nn.Module):
         factor = H0 // flow0.shape[1]
         f0 = ops.upsample_flow(flow0, factor)
         f1 = ops.upsample_flow(flow1, factor)
-        w0 = ops.flow_warp(im0, f0)
-        w1 = ops.flow_warp(im1, f1)
+        w0 = self._warp(im0, f0)
+        w1 = self._warp(im1, f1)
         return jnp.mean(jnp.abs(w0 - w1), axis=(1, 2, 3))  # [B]
 
     def multiscale_global_motion_ensemble(self, im0, im1):
@@ -301,8 +306,8 @@ class Network(nn.Module):
                 gf0, gf1, gocc1 = self.estimate_global_motion(x, feat_scale_level)
                 im0_d16 = ops.downsample_2x(im0_list[-1])
                 im1_d16 = ops.downsample_2x(im1_list[-1])
-                I_t_0 = ops.flow_warp(im0_d16, gf0)
-                I_t_1 = ops.flow_warp(im1_d16, gf1)
+                I_t_0 = self._warp(im0_d16, gf0)
+                I_t_1 = self._warp(im1_d16, gf1)
                 I_t = gocc1 * I_t_0 + (1 - gocc1) * I_t_1
                 im0_warped_list.insert(0, I_t_0)
                 im1_warped_list.insert(0, I_t_1)
@@ -312,11 +317,11 @@ class Network(nn.Module):
             gf1 = ops.upsample_flow(gf1, 2)
             # pre-align the fused tokens and the whole image pyramid
             feat = jnp.concatenate(
-                [ops.flow_warp(feat[:B], gf0), ops.flow_warp(feat[B:], gf1)], axis=0
+                [self._warp(feat[:B], gf0), self._warp(feat[B:], gf1)], axis=0
             )
             for i in reversed(range(c.pyramid_level)):
-                im0_list[i] = ops.flow_warp(im0_list[i], gf0)
-                im1_list[i] = ops.flow_warp(im1_list[i], gf1)
+                im0_list[i] = self._warp(im0_list[i], gf0)
+                im1_list[i] = self._warp(im1_list[i], gf1)
                 if i != 0:
                     gf0 = ops.upsample_flow(gf0, 2)
                     gf1 = ops.upsample_flow(gf1, 2)
@@ -326,8 +331,8 @@ class Network(nn.Module):
         feat = self.shared_feat_enhancement(feat)
         feat = jnp.concatenate([feat[:B], feat[B:]], axis=-1)  # [B,h,w,2C]
 
-        I_t_0 = ops.flow_warp(im0_list[-1], flow0)
-        I_t_1 = ops.flow_warp(im1_list[-1], flow1)
+        I_t_0 = self._warp(im0_list[-1], flow0)
+        I_t_1 = self._warp(im1_list[-1], flow1)
         I_t = occ1 * I_t_0 + (1 - occ1) * I_t_1
         im0_warped_list.insert(0, I_t_0)
         im1_warped_list.insert(0, I_t_1)
@@ -336,8 +341,8 @@ class Network(nn.Module):
         fd1, fd2, fd3 = c.decoder_dims
         feat = jnp.concatenate(
             [
-                ops.flow_warp(feat[..., :fd1], flow0),
-                ops.flow_warp(feat[..., fd1 : 2 * fd1], flow1),
+                self._warp(feat[..., :fd1], flow0),
+                self._warp(feat[..., fd1 : 2 * fd1], flow1),
                 out,
             ],
             axis=-1,
@@ -355,8 +360,8 @@ class Network(nn.Module):
             occ1 = jax.nn.sigmoid(out[..., 4:5])
             if scale != 0:
                 skips.append(feat[..., :-mo])
-            I_t_0 = ops.flow_warp(im0_list[scale], flow0)
-            I_t_1 = ops.flow_warp(im1_list[scale], flow1)
+            I_t_0 = self._warp(im0_list[scale], flow0)
+            I_t_1 = self._warp(im1_list[scale], flow1)
             I_t = occ1 * I_t_0 + (1 - occ1) * I_t_1
             im0_warped_list.insert(0, I_t_0)
             im1_warped_list.insert(0, I_t_1)

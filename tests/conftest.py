@@ -15,7 +15,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-# jax 0.9 ignores the XLA_FLAGS spelling; the config option is canonical.
+# The axon sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon, so env mutations here are no-ops — the config
+# updates below are the only effective way to (a) force the CPU
+# backend (otherwise tests silently run on the tunneled TPU with
+# remote per-op compiles) and (b) get 8 virtual devices for the
+# sharding tests. Must run before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
 if jax.config.jax_num_cpu_devices < 8:
     jax.config.update("jax_num_cpu_devices", 8)
 
