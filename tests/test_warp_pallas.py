@@ -1,0 +1,66 @@
+"""Tile-slab warp kernel vs golden XLA warp (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from atmvfi_tpu.ops import warp as warp_xla
+from atmvfi_tpu.ops.resize import resize_bilinear
+from atmvfi_tpu.ops.warp_pallas import (
+    flow_warp_dispatch,
+    flow_warp_tiled,
+    resolve_warp_impl,
+)
+
+
+def _smooth_flow(B, H, W, mag, seed=0):
+    r = np.random.default_rng(seed)
+    coarse = r.standard_normal(
+        (B, max(H // 64, 1), max(W // 64, 1), 2)
+    ).astype(np.float32) * mag
+    return resize_bilinear(jnp.asarray(coarse), H, W)
+
+
+@pytest.mark.parametrize(
+    "name,B,H,W,C,mag",
+    [
+        ("smooth", 1, 64, 384, 3, 4.0),
+        ("edges", 1, 64, 384, 3, 30.0),  # pushes taps off-image
+        ("batch", 2, 64, 384, 2, 3.0),
+    ],
+)
+def test_tiled_matches_xla(name, B, H, W, C, mag):
+    rng = np.random.default_rng(1)
+    feat = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    flow = _smooth_flow(B, H, W, mag, seed=hash(name) % 100)
+    got = flow_warp_tiled(feat, flow, slab_rows=64, interpret=True)
+    want = warp_xla.flow_warp(feat, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_small_inputs_fall_back():
+    rng = np.random.default_rng(2)
+    feat = jnp.asarray(rng.random((1, 16, 24, 3)), jnp.float32)
+    flow = jnp.zeros((1, 16, 24, 2), jnp.float32)
+    out = flow_warp_tiled(feat, flow, interpret=True)  # W < 384 -> XLA
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feat), atol=1e-6)
+
+
+def test_resolver():
+    assert resolve_warp_impl("xla", 3) == (False, False)
+    use, interp = resolve_warp_impl("tiled", 3)
+    assert use is True
+    auto_use, _ = resolve_warp_impl("auto", 3)
+    assert auto_use == (jax.default_backend() == "tpu")
+    wide_use, _ = resolve_warp_impl("auto", 384)
+    assert wide_use is False  # VMEM-bounded
+
+
+def test_dispatch_xla_matches_flow_warp():
+    rng = np.random.default_rng(3)
+    feat = jnp.asarray(rng.random((1, 32, 40, 3)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, 32, 40, 2)), jnp.float32)
+    a = flow_warp_dispatch(feat, flow, impl="xla")
+    b = warp_xla.flow_warp(feat, flow)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
