@@ -172,13 +172,15 @@ def resolve_warp_impl(impl: str, channels: int) -> Tuple[bool, bool]:
     'auto' uses the tiled kernel on TPU for narrow tensors (images,
     flows, shallow features): the slab scratch is 2*C*S*384*4 bytes, so
     wide feature maps would blow VMEM — those keep the XLA gather.
-    Measured on v5e (C=3, smooth flows): 2.1x at 1080p, 6.2x at 4K.
+    Measured on v5e (C=3, smooth flows): 2x at 1080p, 6x at 4K; at
+    C=24 the slab DMA amplification already cancels the win, so 'auto'
+    keeps the kernel for image-like tensors only.
     """
     if impl == "tiled":
         return True, jax.default_backend() != "tpu"
     if impl == "xla":
         return False, False
-    return jax.default_backend() == "tpu" and channels <= 24, False
+    return jax.default_backend() == "tpu" and channels <= 4, False
 
 
 def flow_warp_dispatch(feature: jnp.ndarray, flow: jnp.ndarray,

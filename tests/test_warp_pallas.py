@@ -53,8 +53,8 @@ def test_resolver():
     assert use is True
     auto_use, _ = resolve_warp_impl("auto", 3)
     assert auto_use == (jax.default_backend() == "tpu")
-    wide_use, _ = resolve_warp_impl("auto", 384)
-    assert wide_use is False  # VMEM-bounded
+    wide_use, _ = resolve_warp_impl("auto", 24)
+    assert wide_use is False  # DMA-amplification bounded
 
 
 def test_dispatch_xla_matches_flow_warp():
