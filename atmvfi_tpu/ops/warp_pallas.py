@@ -249,43 +249,37 @@ def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
 
     BH = B * H
     n_th, n_tw = BH // TILE_H, W // TILE_W
-    flow_f = flow.astype(jnp.float32).reshape(BH, W, 2)
 
+    # per-tile source extents + slab origins, computed channel-paired
+    # in NHWC to minimize layout churn; cond operands stay small (the
+    # f32 CHW transpose of the image happens inside the fast branch)
     ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    base_x = jnp.asarray(xs[None], jnp.float32)
-    base_y = jnp.asarray(ys[None], jnp.float32)
-    x0 = jnp.floor(base_x + flow[..., 0].astype(jnp.float32)).astype(jnp.int32)
-    y0 = jnp.floor(base_y + flow[..., 1].astype(jnp.float32)).astype(jnp.int32)
-    x0c = jnp.clip(x0, 0, W - 1).reshape(BH, W)
-    y0c = jnp.clip(y0, 0, H - 1)
-    y0g = (y0c + (jnp.arange(B, dtype=jnp.int32)[:, None, None]) * H).reshape(
-        BH, W
-    )
-    # extents over both independently-clipped taps (bottom tap clips
-    # to the same range, so its clipped value is the max of the two)
-    ymax_eff = (
-        jnp.clip(y0 + 1, 0, H - 1)
-        + jnp.arange(B, dtype=jnp.int32)[:, None, None] * H
-    ).reshape(BH, W)
-    xmax_eff = jnp.clip(x0 + 1, 0, W - 1).reshape(BH, W)
-
-    ymin_t, _ = _tile_minmax(y0g, n_th, n_tw)
-    xmin_t, _ = _tile_minmax(x0c, n_th, n_tw)
-    _, ymax_t = _tile_minmax(ymax_eff, n_th, n_tw)
-    _, xmax_t = _tile_minmax(xmax_eff, n_th, n_tw)
+    base = jnp.asarray(np.stack([xs, ys], -1)[None], jnp.float32)
+    t0 = jnp.floor(base + flow.astype(jnp.float32)).astype(jnp.int32)
+    hi = jnp.asarray([W - 1, H - 1], jnp.int32)
+    tmin = jnp.clip(t0, 0, hi)  # [B, H, W, 2] clipped top taps
+    tmax = jnp.clip(t0 + 1, 0, hi)  # independently-clipped bottom taps
+    boff = (jnp.arange(B, dtype=jnp.int32) * H)[:, None, None]
+    tmin = tmin.at[..., 1].add(boff)
+    tmax = tmax.at[..., 1].add(boff)
+    mins = tmin.reshape(n_th, TILE_H, n_tw, TILE_W, 2).min(axis=(1, 3))
+    maxs = tmax.reshape(n_th, TILE_H, n_tw, TILE_W, 2).max(axis=(1, 3))
     # DMA origins must be (8, 128)-aligned; 3 column pages keep >= 255
     # columns of budget after alignment waste
-    ymin_blk = (jnp.clip(ymin_t, 0, BH - S) // TILE_H) * TILE_H
-    xmin_blk = (jnp.clip(xmin_t, 0, W - 3 * TILE_W) // TILE_W) * TILE_W
-    ok_y = jnp.all(ymax_t - ymin_blk <= S - 1)
-    ok_x = jnp.all(xmax_t - xmin_blk <= 3 * TILE_W - 1)
+    ymin_blk = (jnp.clip(mins[..., 1], 0, BH - S) // TILE_H) * TILE_H
+    xmin_blk = (jnp.clip(mins[..., 0], 0, W - 3 * TILE_W) // TILE_W) * TILE_W
+    ok_y = jnp.all(maxs[..., 1] - ymin_blk <= S - 1)
+    ok_x = jnp.all(maxs[..., 0] - xmin_blk <= 3 * TILE_W - 1)
     ok = ok_y & ok_x
 
-    img_chw = feature.astype(jnp.float32).reshape(BH, W, C).transpose(2, 0, 1)
     dtype = feature.dtype
 
     def fast(args):
-        img_chw, flow_f, ymin_blk, xmin_blk, feature, flow = args
+        feature, flow, ymin_blk, xmin_blk = args
+        img_chw = (
+            feature.astype(jnp.float32).reshape(BH, W, C).transpose(2, 0, 1)
+        )
+        flow_f = flow.astype(jnp.float32).reshape(BH, W, 2)
         out = _pallas_path(
             img_chw, flow_f, ymin_blk.reshape(-1), xmin_blk.reshape(-1),
             H=H, W=W, C=C, S=S, B=B, dtype=jnp.float32,
@@ -294,9 +288,7 @@ def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
         return out.transpose(1, 2, 0).reshape(B, H, W, C).astype(dtype)
 
     def slow(args):
-        _, _, _, _, feature, flow = args
+        feature, flow, _, _ = args
         return warp_xla.flow_warp(feature, flow)
 
-    return jax.lax.cond(
-        ok, fast, slow, (img_chw, flow_f, ymin_blk, xmin_blk, feature, flow)
-    )
+    return jax.lax.cond(ok, fast, slow, (feature, flow, ymin_blk, xmin_blk))
