@@ -280,14 +280,35 @@ class Trainer:
             occ=np.asarray(out["occ_mask1"][0], np.float32),
         )
 
+    @staticmethod
+    def format_metric_deltas(current: Dict, previous: Optional[Dict]) -> str:
+        """Per-metric values with +/- deltas vs the previous epoch
+        (reference log_metrics_value, trainer.py:229-249)."""
+        parts = []
+        for k, v in current.items():
+            if previous and k in previous:
+                diff = v - previous[k]
+                sign = "+" if diff > 0 else ""
+                parts.append(f"{k}: {v:.5f}({sign}{diff:.5f})")
+            else:
+                parts.append(f"{k}: {v:.5f}")
+        return "  ".join(parts)
+
     def fit(self, train_loaders: Sequence, val_loader,
             max_iters: Optional[int] = None, log_fn: Callable = print,
-            checkpoint_prefix: str = "", viz_dir: Optional[str] = None) -> List[Dict]:
-        """Full loop: alternate datasets per epoch, validate, checkpoint."""
+            checkpoint_prefix: str = "", viz_dir: Optional[str] = None,
+            alternate_every: int = 1) -> List[Dict]:
+        """Full loop: alternate datasets per epoch (every
+        `alternate_every` epochs — the reference phase trainer swaps the
+        joint dataset every 2 epochs, the finetune trainer every 1),
+        validate, checkpoint."""
         os.makedirs(self.c.checkpoint_dir, exist_ok=True)
         history = []
+        prev_train, prev_val = None, None
         for epoch in range(self.num_epochs):
-            loader = train_loaders[epoch % len(train_loaders)]
+            loader = train_loaders[
+                (epoch // max(alternate_every, 1)) % len(train_loaders)
+            ]
             t0 = time.time()
             train_m = self.train_epoch(loader, max_iters)
             val_m = self.eval_epoch(val_loader, max_iters)
@@ -299,9 +320,11 @@ class Trainer:
             record = {"epoch": epoch, "train": train_m, "val": val_m, "sec": dt}
             history.append(record)
             log_fn(
-                f"[{self.phase.name}] epoch {epoch}: "
-                f"train {train_m} | val {val_m} | {dt:.1f}s"
+                f"[{self.phase.name}] epoch {epoch} ({dt:.1f}s)\n"
+                f"  train: {self.format_metric_deltas(train_m, prev_train)}\n"
+                f"  val:   {self.format_metric_deltas(val_m, prev_val)}"
             )
+            prev_train, prev_val = train_m, val_m
             psnr = val_m.get("psnr", 0.0)
             name = (
                 f"{checkpoint_prefix}{self.phase.name}_epoch_{epoch}"
