@@ -193,7 +193,7 @@ class AttentionToMotion(nn.Module):
     @nn.compact
     def __call__(self, x1, x2, mask=None):
         from atmvfi_tpu.ops.attention_pallas import (
-            fused_window_attention,
+            fused_window_attention_packed,
             resolve_attention_impl,
         )
 
@@ -204,24 +204,28 @@ class AttentionToMotion(nn.Module):
         dense = lambda f, name, bias=True: nn.Dense(
             f, use_bias=bias, kernel_init=trunc_normal_init(), dtype=self.dtype, name=name
         )
-        q = dense(C, "q", self.qkv_bias)(x1).reshape(B, N, h, hd).transpose(0, 2, 1, 3)
-        kv = dense(2 * C, "kv", self.qkv_bias)(x2).reshape(B, N, 2, h, hd)
-        k = kv[:, :, 0].transpose(0, 2, 1, 3)
-        v = kv[:, :, 1].transpose(0, 2, 1, 3)
+        q_p = dense(C, "q", self.qkv_bias)(x1)
+        kv_p = dense(2 * C, "kv", self.qkv_bias)(x2)
 
         rel = ops.relative_coords(self.window_size)  # [2, N, N] f32
         use_pallas, interpret = resolve_attention_impl(self.attn_impl)
         if use_pallas:
+            # layout-native kernel: per-head slicing happens in the
+            # BlockSpec index maps, no [B,N,h,d] transposes
             mask_exp = (
                 None if mask is None
                 else jnp.tile(mask, (B // mask.shape[0], 1, 1))
             )
-            out, motion = fused_window_attention(
-                q, k, v, scale, rel, mask_exp, 8, interpret
+            out, motion_p = fused_window_attention_packed(
+                q_p, kv_p, scale, rel, mask_exp, h, 8, interpret
             )
-            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-            motion = motion.astype(self.dtype).transpose(0, 3, 2, 1)
+            motion = motion_p.astype(self.dtype).reshape(B, N, h, 2)
+            motion = motion.transpose(0, 3, 1, 2)  # [B, 2, N, h]
         else:
+            q = q_p.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+            kv = kv_p.reshape(B, N, 2, h, hd)
+            k = kv[:, :, 0].transpose(0, 2, 1, 3)
+            v = kv[:, :, 1].transpose(0, 2, 1, 3)
             attn = attention_probs(q, k, scale, mask)  # f32 [B, h, N, N]
             out = jnp.einsum("bhqk,bhkd->bqhd", attn.astype(self.dtype), v)
             out = out.reshape(B, N, C)
@@ -247,7 +251,7 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         from atmvfi_tpu.ops.attention_pallas import (
-            fused_window_attention,
+            fused_window_attention_packed,
             resolve_attention_impl,
         )
 
@@ -258,23 +262,24 @@ class WindowAttention(nn.Module):
         dense = lambda f, name, bias=True: nn.Dense(
             f, use_bias=bias, kernel_init=trunc_normal_init(), dtype=self.dtype, name=name
         )
-        qkv = dense(3 * C, "qkv", self.qkv_bias)(x).reshape(B, N, 3, h, hd)
-        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+        qkv_p = dense(3 * C, "qkv", self.qkv_bias)(x)
         use_pallas, interpret = resolve_attention_impl(self.attn_impl)
         if use_pallas:
             mask_exp = (
                 None if mask is None
                 else jnp.tile(mask, (B // mask.shape[0], 1, 1))
             )
-            out, _ = fused_window_attention(
-                q, k, v, scale, None, mask_exp, 8, interpret
+            out, _ = fused_window_attention_packed(
+                qkv_p[..., :C], qkv_p[..., C:], scale, None, mask_exp,
+                h, 8, interpret,
             )
-            out = out.transpose(0, 2, 1, 3)
-        else:
-            attn = attention_probs(q, k, scale, mask)
-            out = jnp.einsum("bhqk,bhkd->bqhd", attn.astype(self.dtype), v)
+            return dense(C, "proj")(out)
+        qkv = qkv_p.reshape(B, N, 3, h, hd)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+        attn = attention_probs(q, k, scale, mask)
+        out = jnp.einsum("bhqk,bhkd->bqhd", attn.astype(self.dtype), v)
         return dense(C, "proj")(out.reshape(B, N, C))
 
 

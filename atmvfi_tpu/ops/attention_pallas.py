@@ -166,6 +166,163 @@ def _forward(q, k, v, scale, rel, mask, block_windows, interpret):
     return out, motion
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, rel_ref, mask_ref, out_ref,
+                   motion_ref, *, scale, block_windows, with_motion,
+                   with_mask):
+    for w in range(block_windows):
+        attn = jax.lax.dot_general(
+            q_ref[w], k_ref[w], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if with_mask:
+            attn = attn + mask_ref[w].astype(jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)
+        a = attn.astype(v_ref.dtype)
+        out_ref[w] = jax.lax.dot_general(
+            a, v_ref[w], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+        if with_motion:
+            mx = jnp.sum(attn * rel_ref[0].astype(jnp.float32), axis=-1)
+            my = jnp.sum(attn * rel_ref[1].astype(jnp.float32), axis=-1)
+            motion_ref[w] = jnp.stack([mx, my], axis=-1).astype(
+                motion_ref.dtype
+            )
+
+
+def _packed_forward(q, kv, scale, rel, mask, num_heads,
+                    block_windows, interpret):
+    """Layout-native fused attention: NO head transposes in or out.
+
+    q:  [BW, N, C]      (head j occupies channels [j*hd, (j+1)*hd))
+    kv: [BW, N, 2C]     (k then v, same per-head channel layout)
+    Returns out [BW, N, C] and motion [BW, N, 2*h] (channel pairs per
+    head) or None. The per-head slicing is done by the BlockSpec index
+    maps, so the projections' natural [tokens, channels] layout flows
+    straight through the kernel — this is what makes the kernel win at
+    the model level (the [B,N,h,d] transposes around the generic form
+    cost more than the fusion saved).
+    """
+    BW, N, C = q.shape
+    h = num_heads
+    hd = C // h
+    with_motion = rel is not None
+    with_mask = mask is not None
+    wb = min(block_windows, BW)
+    bw_pad = ((BW + wb - 1) // wb) * wb
+    qp = _pad_windows(q, bw_pad)
+    kvp = _pad_windows(kv, bw_pad)
+    args = [qp, kvp, kvp]
+    in_specs = [
+        pl.BlockSpec((wb, N, hd), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, N, hd), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, N, hd), lambda i, j, _h=h: (i, 0, _h + j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if with_motion:
+        args.append(rel)
+        in_specs.append(
+            pl.BlockSpec((2, N, N), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        args.append(jnp.zeros((1, 1), q.dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if with_mask:
+        args.append(_pad_windows(mask.astype(jnp.bfloat16), bw_pad))
+        in_specs.append(
+            pl.BlockSpec((wb, N, N), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        args.append(jnp.zeros((1, 1), q.dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _packed_kernel, scale=scale, block_windows=wb,
+        with_motion=with_motion, with_mask=with_mask,
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((bw_pad, N, C), q.dtype),
+        jax.ShapeDtypeStruct((bw_pad, N, 2 * h) if with_motion else (1, 1, 1),
+                             q.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((wb, N, hd), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, N, 2), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM)
+        if with_motion
+        else pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out, motion = pl.pallas_call(
+        kernel,
+        grid=(bw_pad // wb, h),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+    out = out[:BW]
+    motion = motion[:BW] if with_motion else None
+    return out, motion
+
+
+def _packed_reference(q, kv, scale, rel, mask, num_heads):
+    """Pure-jnp packed-layout reference (tests + backward pass)."""
+    B, N, C = q.shape
+    h = num_heads
+    hd = C // h
+    qh = q.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+    kh = kv[..., :C].reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+    vh = kv[..., C:].reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+    out, motion = reference_window_attention(qh, kh, vh, scale, rel, mask)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    if motion is not None:
+        # [B, h, N, 2] -> packed [B, N, 2h] (head-major channel pairs)
+        motion = motion.transpose(0, 2, 1, 3).reshape(B, N, 2 * h)
+    return out, motion
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 5, 6, 7))
+def fused_window_attention_packed(q, kv, scale, rel, mask,
+                                  num_heads: int, block_windows: int = 8,
+                                  interpret: bool = False):
+    return _packed_forward(q, kv, scale, rel, mask, num_heads,
+                           block_windows, interpret)
+
+
+def _packed_fwd_rule(q, kv, scale, rel, mask, num_heads, block_windows,
+                     interpret):
+    out = _packed_forward(q, kv, scale, rel, mask, num_heads,
+                          block_windows, interpret)
+    return out, (q, kv, rel, mask)
+
+
+def _packed_bwd_rule(scale, num_heads, block_windows, interpret,
+                     residuals, grads):
+    q, kv, rel, mask = residuals
+    g_out, g_motion = grads
+
+    def ref(q, kv):
+        out, motion = _packed_reference(q, kv, scale, rel, mask, num_heads)
+        if motion is None:
+            return (out,)
+        return (out, motion)
+
+    _, vjp = jax.vjp(ref, q, kv)
+    if rel is None:
+        dq, dkv = vjp((g_out,))
+    else:
+        dq, dkv = vjp((g_out, g_motion))
+    return dq, dkv, None, None
+
+
+fused_window_attention_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)
+
+
 def _fwd_rule(q, k, v, scale, rel, mask, block_windows, interpret):
     out = _forward(q, k, v, scale, rel, mask, block_windows, interpret)
     return out, (q, k, v, rel, mask)

@@ -83,6 +83,93 @@ def test_custom_vjp_falls_back_to_reference():
                                    atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("with_motion", [False, True])
+def test_packed_kernel_matches_reference(with_mask, with_motion):
+    from atmvfi_tpu.ops.attention_pallas import (
+        _packed_reference,
+        fused_window_attention_packed,
+    )
+
+    rng = np.random.default_rng(5)
+    BW, N, C, h = 5, 64, 128, 4
+    q = jnp.asarray(rng.standard_normal((BW, N, C)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((BW, N, 2 * C)), jnp.float32)
+    mask = None
+    if with_mask:
+        m = np.zeros((BW, N, N), np.float32)
+        m[:, : N // 2, N // 2 :] = -100.0
+        mask = jnp.asarray(m)
+    rel = None
+    if with_motion:
+        from atmvfi_tpu import ops
+
+        rel = ops.relative_coords(8)
+    scale = (C // h) ** -0.5
+    with jax.default_matmul_precision("highest"):
+        out, motion = fused_window_attention_packed(
+            q, kv, scale, rel, mask, h, 2, True
+        )
+        want_out, want_motion = _packed_reference(q, kv, scale, rel, mask, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               atol=2e-5, rtol=2e-5)
+    if with_motion:
+        np.testing.assert_allclose(np.asarray(motion),
+                                   np.asarray(want_motion),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_packed_vjp():
+    from atmvfi_tpu.ops.attention_pallas import (
+        _packed_reference,
+        fused_window_attention_packed,
+    )
+
+    rng = np.random.default_rng(6)
+    BW, N, C, h = 2, 16, 32, 4
+    q = jnp.asarray(rng.standard_normal((BW, N, C)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((BW, N, 2 * C)), jnp.float32)
+    scale = (C // h) ** -0.5
+
+    def loss_p(q, kv):
+        out, _ = fused_window_attention_packed(q, kv, scale, None, None,
+                                               h, 2, True)
+        return jnp.sum(out**2)
+
+    def loss_r(q, kv):
+        out, _ = _packed_reference(q, kv, scale, None, None, h)
+        return jnp.sum(out**2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(q, kv)
+    gr = jax.grad(loss_r, argnums=(0, 1))(q, kv)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_model_forward_with_pallas_attention_matches_xla():
+    """Full lite forward with attn_impl=pallas (interpret) == xla path."""
+    import dataclasses
+
+    from atmvfi_tpu.models import Network, get_config
+
+    rng = np.random.default_rng(7)
+    im0 = jnp.asarray(rng.random((1, 32, 48, 3)), jnp.float32)
+    im1 = jnp.asarray(rng.random((1, 32, 48, 3)), jnp.float32)
+    cfg_x = dataclasses.replace(get_config("lite"), attention_impl="xla")
+    cfg_p = dataclasses.replace(get_config("lite"), attention_impl="pallas")
+    net_x = Network(cfg_x)
+    net_p = Network(cfg_p)
+    variables = jax.jit(
+        lambda a, b: net_x.init(jax.random.PRNGKey(0), a, b)
+    )(im0, im1)
+    with jax.default_matmul_precision("highest"):
+        out_x = net_x.apply(variables, im0, im1, global_motion=True)["I_t"]
+        out_p = net_p.apply(variables, im0, im1, global_motion=True)["I_t"]
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=5e-5, rtol=5e-5)
+
+
 def test_resolver():
     assert resolve_attention_impl("xla") == (False, False)
     use, interp = resolve_attention_impl("pallas")
