@@ -166,28 +166,36 @@ def _forward(q, k, v, scale, rel, mask, block_windows, interpret):
     return out, motion
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, rel_ref, mask_ref, out_ref,
-                   motion_ref, *, scale, block_windows, with_motion,
-                   with_mask):
+def _packed_kernel(q_ref, kv_ref, rel_ref, mask_ref, out_ref,
+                   motion_ref, *, scale, block_windows, num_heads,
+                   head_dim, with_motion, with_mask):
+    C = num_heads * head_dim
     for w in range(block_windows):
-        attn = jax.lax.dot_general(
-            q_ref[w], k_ref[w], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
+        q_all = q_ref[w]       # [N, C]
+        kv_all = kv_ref[w]     # [N, 2C]
         if with_mask:
-            attn = attn + mask_ref[w].astype(jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1)
-        a = attn.astype(v_ref.dtype)
-        out_ref[w] = jax.lax.dot_general(
-            a, v_ref[w], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
-        if with_motion:
-            mx = jnp.sum(attn * rel_ref[0].astype(jnp.float32), axis=-1)
-            my = jnp.sum(attn * rel_ref[1].astype(jnp.float32), axis=-1)
-            motion_ref[w] = jnp.stack([mx, my], axis=-1).astype(
-                motion_ref.dtype
-            )
+            m = mask_ref[w].astype(jnp.float32)
+        for j in range(num_heads):
+            lo, hi = j * head_dim, (j + 1) * head_dim
+            attn = jax.lax.dot_general(
+                q_all[:, lo:hi], kv_all[:, lo:hi],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if with_mask:
+                attn = attn + m
+            attn = jax.nn.softmax(attn, axis=-1)
+            a = attn.astype(kv_all.dtype)
+            out_ref[w, :, lo:hi] = jax.lax.dot_general(
+                a, kv_all[:, C + lo : C + hi], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
+            if with_motion:
+                mx = jnp.sum(attn * rel_ref[0].astype(jnp.float32), axis=-1)
+                my = jnp.sum(attn * rel_ref[1].astype(jnp.float32), axis=-1)
+                motion_ref[w, :, 2 * j : 2 * j + 2] = jnp.stack(
+                    [mx, my], axis=-1
+                ).astype(motion_ref.dtype)
 
 
 def _packed_forward(q, kv, scale, rel, mask, num_heads,
@@ -212,19 +220,19 @@ def _packed_forward(q, kv, scale, rel, mask, num_heads,
     bw_pad = ((BW + wb - 1) // wb) * wb
     qp = _pad_windows(q, bw_pad)
     kvp = _pad_windows(kv, bw_pad)
-    args = [qp, kvp, kvp]
+    args = [qp, kvp]
+    # blocks cover the FULL channel dim (Mosaic requires the minor dim
+    # be 128-divisible or whole); heads are sliced inside the kernel
     in_specs = [
-        pl.BlockSpec((wb, N, hd), lambda i, j: (i, 0, j),
+        pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((wb, N, hd), lambda i, j: (i, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((wb, N, hd), lambda i, j, _h=h: (i, 0, _h + j),
+        pl.BlockSpec((wb, N, 2 * C), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if with_motion:
         args.append(rel)
         in_specs.append(
-            pl.BlockSpec((2, N, N), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((2, N, N), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
     else:
@@ -233,7 +241,7 @@ def _packed_forward(q, kv, scale, rel, mask, num_heads,
     if with_mask:
         args.append(_pad_windows(mask.astype(jnp.bfloat16), bw_pad))
         in_specs.append(
-            pl.BlockSpec((wb, N, N), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((wb, N, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
     else:
@@ -241,8 +249,8 @@ def _packed_forward(q, kv, scale, rel, mask, num_heads,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     kernel = functools.partial(
-        _packed_kernel, scale=scale, block_windows=wb,
-        with_motion=with_motion, with_mask=with_mask,
+        _packed_kernel, scale=scale, block_windows=wb, num_heads=h,
+        head_dim=hd, with_motion=with_motion, with_mask=with_mask,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((bw_pad, N, C), q.dtype),
@@ -250,16 +258,16 @@ def _packed_forward(q, kv, scale, rel, mask, num_heads,
                              q.dtype),
     ]
     out_specs = [
-        pl.BlockSpec((wb, N, hd), lambda i, j: (i, 0, j),
+        pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((wb, N, 2), lambda i, j: (i, 0, j),
+        pl.BlockSpec((wb, N, 2 * h), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
         if with_motion
         else pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     out, motion = pl.pallas_call(
         kernel,
-        grid=(bw_pad // wb, h),
+        grid=(bw_pad // wb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
