@@ -53,14 +53,17 @@ def bench_resolution(variables, fwd, h, w, iters):
         jnp.asarray(rng.random((1, ph, pw, 3), np.float32))
         for _ in range(iters)
     ]
+    # NOTE: timing forces a scalar readback per call — through the
+    # remote-device relay, block_until_ready can return before the
+    # computation finishes, so readback is the only reliable fence.
     t0 = time.time()
     out = fwd(variables, xs[0], xs[0])
-    out.block_until_ready()
+    float(out.mean())
     log(f"  first call (compile+run) {h}x{w}: {time.time()-t0:.1f}s")
-    fwd(variables, xs[-1], xs[-1]).block_until_ready()  # warm
+    float(fwd(variables, xs[-1], xs[-1]).mean())  # warm
     t0 = time.time()
-    outs = [fwd(variables, x, x) for x in xs]
-    jax.block_until_ready(outs)
+    for x in xs:
+        float(fwd(variables, x, x).mean())
     dt = (time.time() - t0) / iters
     return 1.0 / dt
 
