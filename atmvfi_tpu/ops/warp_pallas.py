@@ -235,7 +235,8 @@ def _pallas_path(img_chw, flow, ymin_blk, xmin_blk, *, H, W, C, S, B, dtype,
 
 
 def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
-                    slab_rows: int = 64, interpret: bool = False) -> jnp.ndarray:
+                    slab_rows: int = 64, interpret: bool = False,
+                    unchecked: bool = False) -> jnp.ndarray:
     """Exact flow_warp (ops.warp semantics) via the tile-slab kernel.
 
     feature: [B, H, W, C]; flow: [B, H, W, 2] (x, y). Requires
@@ -291,4 +292,9 @@ def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
         feature, flow, _, _ = args
         return warp_xla.flow_warp(feature, flow)
 
+    if unchecked:
+        # serving mode: skip the exactness cond — taps beyond the slab
+        # clamp to its edge (only reachable when per-tile flow spread
+        # exceeds S-1 rows / 383 cols, i.e. pathological flows)
+        return fast((feature, flow, ymin_blk, xmin_blk))
     return jax.lax.cond(ok, fast, slow, (feature, flow, ymin_blk, xmin_blk))
