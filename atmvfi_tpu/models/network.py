@@ -206,9 +206,13 @@ class Network(nn.Module):
         feat_concat = jnp.concatenate([feat[:B], feat[B:]], axis=-1)
         motion = jnp.concatenate(motion_chunks, axis=-1)  # [B, h, w, 8]
         out = _seq(self.local_motion_mlp, jnp.concatenate([motion, feat_concat], -1))
-        flow0 = out[..., 0:2]
-        flow1 = out[..., 2:4]
-        occ1 = jax.nn.sigmoid(out[..., 4:5])
+        # flows/occlusion leave the head in f32: bf16 flow quantization
+        # (rel. 2^-8) shifts warp taps by ~0.1px at typical magnitudes,
+        # which measurably costs reconstruction quality
+        out_f = out.astype(jnp.float32)
+        flow0 = out_f[..., 0:2]
+        flow1 = out_f[..., 2:4]
+        occ1 = jax.nn.sigmoid(out_f[..., 4:5])
         return flow0, flow1, occ1, feat, out
 
     def estimate_global_motion(self, x, feat_scale_level):
@@ -224,14 +228,19 @@ class Network(nn.Module):
         feat_ = jnp.concatenate([feat_[:B], feat_[B:]], axis=-1)
         motion = jnp.concatenate(motion_chunks, axis=-1)
         out = _seq(self.global_motion_mlp, jnp.concatenate([motion, feat_], -1))
-        flow0 = out[..., 0:2]
-        flow1 = out[..., 2:4]
-        occ1 = jax.nn.sigmoid(out[..., 4:5])
+        out_f = out.astype(jnp.float32)  # f32 flows (see estimate_local_motion)
+        flow0 = out_f[..., 0:2]
+        flow1 = out_f[..., 2:4]
+        occ1 = jax.nn.sigmoid(out_f[..., 4:5])
         return flow0, flow1, occ1
 
     def residual_refinement(self, feat, im0, I_t_0, im1, I_t_1, I_t, skips):
+        dt = self.cfg.dtype
         feat0 = self.refine_proj(
-            jnp.concatenate([feat, im0, I_t_0, im1, I_t_1, I_t], axis=-1)
+            jnp.concatenate(
+                [feat] + [t.astype(dt) for t in (im0, I_t_0, im1, I_t_1, I_t)],
+                axis=-1,
+            )
         )
         feat1 = _seq(self.down1, feat0)
         feat2 = _seq(self.down2, jnp.concatenate([feat1, skips[1]], axis=-1))
@@ -260,7 +269,7 @@ class Network(nn.Module):
         for level in range(3):
             if level > 0:
                 im = ops.downsample_2x(im)
-            x, levels = self.shared_feat_extraction(im)
+            x, levels = self.shared_feat_extraction(im.astype(self.cfg.dtype))
             f0, f1, _ = self.estimate_global_motion(x, levels)
             losses.append(self._global_alignmentness(f0, f1, im0, im1))
             if level > 0:
@@ -281,8 +290,11 @@ class Network(nn.Module):
     def __call__(self, im0, im1, global_motion: bool = True,
                  ensemble_global_motion: bool = False):
         c = self.cfg
-        im0 = im0.astype(c.dtype)
-        im1 = im1.astype(c.dtype)
+        # mixed-precision policy: the image pyramid, flows, occlusions
+        # and warped blends stay f32 (quality-critical, cheap); only
+        # the conv/attention towers run in cfg.dtype (bf16 on TPU)
+        im0 = im0.astype(jnp.float32)
+        im1 = im1.astype(jnp.float32)
         B = im0.shape[0]
 
         im0_list: List[jnp.ndarray] = [im0]
@@ -295,7 +307,7 @@ class Network(nn.Module):
             im1_list.append(ops.downsample_2x(im1_list[-1]))
 
         x, feat_scale_level = self.shared_feat_extraction(
-            jnp.concatenate([im0, im1], axis=0)
+            jnp.concatenate([im0, im1], axis=0).astype(c.dtype)
         )
         feat = self.cross_scale_feature_fusion(feat_scale_level)  # [2B,h,w,C]
 
@@ -355,9 +367,10 @@ class Network(nn.Module):
         ):
             feat = _seq(stage, feat)
             out = feat[..., -mo:]
-            flow0 = out[..., 0:2]
-            flow1 = out[..., 2:4]
-            occ1 = jax.nn.sigmoid(out[..., 4:5])
+            out_f = out.astype(jnp.float32)
+            flow0 = out_f[..., 0:2]
+            flow1 = out_f[..., 2:4]
+            occ1 = jax.nn.sigmoid(out_f[..., 4:5])
             if scale != 0:
                 skips.append(feat[..., :-mo])
             I_t_0 = self._warp(im0_list[scale], flow0)
@@ -370,7 +383,7 @@ class Network(nn.Module):
         residual = self.residual_refinement(
             feat, im0, I_t_0, im1, I_t_1, I_t, skips
         )
-        I_t = jnp.clip(I_t + residual, 0.0, 1.0)
+        I_t = jnp.clip(I_t + residual.astype(jnp.float32), 0.0, 1.0)
 
         return {
             "I_t": I_t,
