@@ -1,0 +1,82 @@
+"""Reverse converter: flax -> torch state_dict, round-trip verified."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from atmvfi_tpu.convert import convert_state_dict
+from atmvfi_tpu.convert.torch_export import (
+    save_torch_checkpoint,
+    to_torch_state_dict,
+)
+from atmvfi_tpu.models import Network, get_config
+
+
+@pytest.fixture(scope="module", params=["lite", "base"])
+def variables(request):
+    net = Network(get_config(request.param))
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    return jax.jit(
+        lambda a, b: net.init(jax.random.PRNGKey(1), a, b)
+    )(dummy, dummy)
+
+
+def test_roundtrip_identity(variables):
+    sd = to_torch_state_dict(variables)
+    back = convert_state_dict(sd)
+    from flax.traverse_util import flatten_dict
+
+    a = flatten_dict(variables["params"])
+    b = flatten_dict(back["params"])
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=str(k))
+
+
+def test_exported_names_match_reference_model(variables):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    import torch
+
+    from refutil import import_reference
+
+    ref = import_reference()
+    # variables fixture parametrizes lite and base; match accordingly
+    n_params = sum(x.size for x in jax.tree.leaves(variables))
+    tmodel = (
+        ref.network_lite.Network() if n_params < 20e6 else ref.network_base.Network()
+    )
+    want = {
+        k for k in tmodel.state_dict()
+        if not k.endswith(("relative_coord", "attn_mask", "HW"))
+    }
+    got = set(to_torch_state_dict(variables).keys())
+    assert got == want
+
+
+def test_exported_checkpoint_loads_into_reference(tmp_path, variables):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    import torch
+
+    from refutil import import_reference
+
+    ref = import_reference()
+    n_params = sum(x.size for x in jax.tree.leaves(variables))
+    if n_params >= 20e6:
+        pytest.skip("one variant is enough for the strict-load check")
+    path = str(tmp_path / "export.pt")
+    save_torch_checkpoint(path, variables, meta={"src": "atmvfi_tpu"})
+    ckpt = torch.load(path, weights_only=False)
+    tmodel = ref.network_lite.Network()
+    missing, unexpected = tmodel.load_state_dict(
+        ckpt["model_state_dict"], strict=False
+    )
+    assert unexpected == []
+    # only the stripped resolution buffers may be missing
+    assert all(
+        k.endswith(("relative_coord", "attn_mask", "HW")) for k in missing
+    )
