@@ -122,6 +122,48 @@ class InterpolationPipeline:
         right = self._recursive_midpoints(mid, b, factor // 2)
         return left + right
 
+    # ------------------------------------------------------------------
+    def interpolate_stream_batched(self, frames: Iterable[np.ndarray],
+                                   factor: int = 2,
+                                   batch: int = 4) -> Iterable[np.ndarray]:
+        """Batched-throughput Nx interpolation over a frame iterable.
+
+        Groups `batch` consecutive (prev, next) pairs into ONE forward
+        call — video 2x interpolation is embarrassingly parallel across
+        pairs, and a single 4K frame leaves the MXU underutilized, so
+        batching trades a little latency for substantially higher
+        frames/sec/chip. Output order and values are identical to
+        `interpolate_stream` (the recursion runs on stacked tensors).
+        """
+        assert factor in (2, 4, 8), "factor must be a power of 2 (2/4/8)"
+        assert batch >= 1
+        padder = None
+        pend: List[jnp.ndarray] = []  # padded device frames, oldest first
+
+        for frame in frames:
+            x = jnp.asarray(frame, jnp.float32)[None] / 255.0
+            if padder is None:
+                padder = InputPadder(x.shape, divisor=self.pad_divisor)
+            pend.append(padder.pad(x))
+            if len(pend) == batch + 1:
+                a = jnp.concatenate(pend[:-1], axis=0)
+                b = jnp.concatenate(pend[1:], axis=0)
+                seq = self._recursive_midpoints(a, b, factor)
+                for i in range(batch):
+                    for f in seq:
+                        yield self._to_uint8(padder.unpad(f[i : i + 1]))
+                pend = pend[-1:]
+        if padder is None:
+            return
+        if len(pend) >= 2:  # short tail: one smaller batched call
+            a = jnp.concatenate(pend[:-1], axis=0)
+            b = jnp.concatenate(pend[1:], axis=0)
+            seq = self._recursive_midpoints(a, b, factor)
+            for i in range(len(pend) - 1):
+                for f in seq:
+                    yield self._to_uint8(padder.unpad(f[i : i + 1]))
+        yield self._to_uint8(padder.unpad(pend[-1]))
+
     @staticmethod
     def _to_uint8(x) -> np.ndarray:
         return np.asarray(

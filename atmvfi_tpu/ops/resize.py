@@ -5,7 +5,8 @@ fields with ``F.interpolate(mode='bilinear', align_corners=True)``
 (see /root/reference/network/network_base.py:11-18,443-448). Parity of
 these resizes matters for PSNR parity, so we implement the exact
 source-coordinate formula ``src = i * (in - 1) / (out - 1)`` as two
-separable 1-D gathers (cheap, exact, and XLA-fusable on TPU).
+separable banded-matrix matmuls (exact, and MXU-native on TPU — a
+gather formulation lowers to serial loops there).
 
 All ops are NHWC and shape-static (sizes are Python ints at trace time).
 """
@@ -13,6 +14,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,19 +33,36 @@ def _axis_coeffs(in_size: int, out_size: int):
 
 
 def _resize_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
+    """Resize one axis: interpolation expressed as a banded matmul.
+
+    TPU rationale: `jnp.take` lowers to serial gather loops on TPU
+    (~100 ms of the 4K frame went to pyramid/flow resizes), while the
+    equivalent sparse interpolation matrix — built on the fly from the
+    tiny static index/weight vectors, so no giant literals are baked
+    into the executable — runs on the MXU in a couple of ms. Weight
+    rows sum to exactly 1 (single-tap rows get (1-w) + w at the same
+    slot), and accumulation is f32 even for bf16 inputs.
+    """
     in_size = x.shape[axis]
     if out_size == in_size:
         return x
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        raise TypeError(f"resize_bilinear needs float input, got {x.dtype}")
     i0, i1, w1 = _axis_coeffs(in_size, out_size)
-    i0 = jnp.asarray(i0)
-    i1 = jnp.asarray(i1)
-    w1 = jnp.asarray(w1, dtype=x.dtype)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    w1 = w1.reshape(shape)
-    x0 = jnp.take(x, i0, axis=axis)
-    x1 = jnp.take(x, i1, axis=axis)
-    return x0 + (x1 - x0) * w1
+    iota = jnp.arange(in_size, dtype=jnp.int32)[None, :]          # [1, in]
+    i0c = jnp.asarray(i0)[:, None]                                 # [out, 1]
+    i1c = jnp.asarray(i1)[:, None]
+    w = jnp.asarray(w1, jnp.float32)[:, None]
+    m = (iota == i0c).astype(jnp.float32) * (1.0 - w) + (
+        iota == i1c
+    ).astype(jnp.float32) * w                                      # [out, in]
+    axis = axis % x.ndim
+    y = jax.lax.dot_general(
+        m.astype(x.dtype), x,
+        dimension_numbers=(((1,), (axis,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [out, ...x-without-axis]
+    return jnp.moveaxis(y, 0, axis).astype(x.dtype)
 
 
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

@@ -166,29 +166,289 @@ def _kernel(ymin_ref, xmin_ref, img_ref, flow_ref, out_ref, slab_ref, sem,
                 out_ref[ch] += acc.astype(out_ref.dtype)
 
 
-def resolve_warp_impl(impl: str, channels: int) -> Tuple[bool, bool]:
-    """-> (use_tiled, interpret).
+def _kernel_nhwc(ymin_ref, lmin_ref, img_ref, fx_ref, fy_ref, out_ref,
+                 slab_ref, sem, *, H, W, C, S, P, n_tl):
+    """NHWC-native tile-slab warp.
 
-    'auto' uses the tiled kernel on TPU for narrow tensors (images,
-    flows, shallow features): the slab scratch is 2*C*S*384*4 bytes, so
-    wide feature maps would blow VMEM — those keep the XLA gather.
-    Measured on v5e (C=3, smooth flows): 2x at 1080p, 6x at 4K; at
-    C=24 the slab DMA amplification already cancels the win, so 'auto'
-    keeps the kernel for image-like tensors only.
+    The image lives as [B*H, W*C] (a FREE reshape of NHWC — W and C are
+    adjacent minor dims), so output tiles are native (8, 128) lane
+    tiles, the gather index space is the merged lane axis l = x*C + ch,
+    and no CHW transpose exists anywhere. The source slab is
+    (S, P*128) f32 DMA'd at the per-tile (8,128)-aligned minimum
+    (scalar-prefetched); flows arrive as channel-broadcast [B*H, W*C]
+    planes so flow tiles align with output tiles.
     """
-    if impl == "tiled":
-        return True, jax.default_backend() != "tpu"
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    th = t // n_tl
+    tl = t % n_tl
+
+    def slab_dma(slot, tile):
+        return pltpu.make_async_copy(
+            img_ref.at[
+                pl.ds(pl.multiple_of(ymin_ref[tile], TILE_H), S),
+                pl.ds(pl.multiple_of(lmin_ref[tile], TILE_W), P * TILE_W),
+            ],
+            slab_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        slab_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        slab_dma((t + 1) % 2, t + 1).start()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    g_lane = tl * TILE_W + lanes            # global lane in [0, W*C)
+    x = g_lane // C                         # source pixel column
+    ch = g_lane - x * C                     # channel within pixel
+    gr = th * TILE_H + rows                 # global output row (B*H space)
+    b = gr // H
+    y_img = gr - b * H
+
+    sx = x.astype(jnp.float32) + fx_ref[...]
+    sy = y_img.astype(jnp.float32) + fy_ref[...]
+    x0f = jnp.floor(sx)
+    y0f = jnp.floor(sy)
+    wx = sx - x0f
+    wy = sy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    def valid(xi, yi):
+        return ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)).astype(
+            jnp.float32
+        )
+
+    w00 = (1 - wx) * (1 - wy) * valid(x0, y0)
+    w01 = wx * (1 - wy) * valid(x0 + 1, y0)
+    w10 = (1 - wx) * wy * valid(x0, y0 + 1)
+    w11 = wx * wy * valid(x0 + 1, y0 + 1)
+
+    # slab-relative coordinates; each tap clipped INDEPENDENTLY (see
+    # _kernel). Lane index of tap (xi, ch) is xi*C + ch.
+    base = b * H - ymin_ref[t]
+    r_top = jnp.clip(jnp.clip(y0, 0, H - 1) + base, 0, S - 1)
+    r_bot = jnp.clip(jnp.clip(y0 + 1, 0, H - 1) + base, 0, S - 1)
+    l0 = jnp.clip(
+        jnp.clip(x0, 0, W - 1) * C + ch - lmin_ref[t], 0, P * TILE_W - 1
+    )
+    l1 = jnp.clip(
+        jnp.clip(x0 + 1, 0, W - 1) * C + ch - lmin_ref[t], 0, P * TILE_W - 1
+    )
+    page0 = l0 // TILE_W
+    page1 = l1 // TILE_W
+    cp0 = l0 - page0 * TILE_W
+    cp1 = l1 - page1 * TILE_W
+
+    slab_dma(t % 2, t).wait()
+    slot = t % 2
+
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    r_lo = jnp.min(r_top)
+    r_hi = jnp.max(r_bot)
+    out_ref[...] = jnp.zeros((TILE_H, TILE_W), out_ref.dtype)
+    for q in range(S // TILE_H):
+        @pl.when((q * TILE_H <= r_hi) & (r_lo < (q + 1) * TILE_H))
+        def _(q=q):
+            acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            blk = slab_ref[slot, q * TILE_H : (q + 1) * TILE_H, :]
+            pages = [blk[:, p * TILE_W : (p + 1) * TILE_W] for p in range(P)]
+            for d in range(TILE_H):
+                # roll(x, n-d)[i] == x[(i+d) % n]
+                shift = (TILE_H - d) % TILE_H
+                rp = [pltpu.roll(pg, shift, 0) if d else pg for pg in pages]
+                srow = q * TILE_H + (iota_i + d) % TILE_H
+
+                def gatherP(page, cp):
+                    g = jnp.take_along_axis(rp[0], cp, axis=1)
+                    for p in range(1, P):
+                        g = jnp.where(
+                            page == p,
+                            jnp.take_along_axis(rp[p], cp, axis=1),
+                            g,
+                        )
+                    return g
+
+                g0 = gatherP(page0, cp0)
+                g1 = gatherP(page1, cp1)
+                top = (r_top == srow).astype(jnp.float32)
+                bot = (r_bot == srow).astype(jnp.float32)
+                acc = acc + top * (w00 * g0 + w01 * g1)
+                acc = acc + bot * (w10 * g0 + w11 * g1)
+            out_ref[...] += acc.astype(out_ref.dtype)
+
+
+def _pallas_path_nhwc(img_lanes, fx3, fy3, ymin_blk, lmin_blk, *,
+                      H, W, C, S, P, B, interpret=False):
+    BH = B * H
+    WC = W * C
+    n_th, n_tl = BH // TILE_H, WC // TILE_W
+    kernel = functools.partial(
+        _kernel_nhwc, H=H, W=W, C=C, S=S, P=P, n_tl=n_tl
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ymin_blk, lmin_blk
+        grid=(n_th * n_tl,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # img stays in HBM
+            pl.BlockSpec(
+                (TILE_H, TILE_W),
+                lambda t, ymin, lmin: (t // n_tl, t % n_tl),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TILE_H, TILE_W),
+                lambda t, ymin, lmin: (t // n_tl, t % n_tl),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_H, TILE_W),
+            lambda t, ymin, lmin: (t // n_tl, t % n_tl),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, S, P * TILE_W), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, WC), jnp.float32),
+        interpret=interpret,
+    )(ymin_blk, lmin_blk, img_lanes, fx3, fy3)
+
+
+def flow_warp_tiled_nhwc(feature: jnp.ndarray, flow: jnp.ndarray,
+                         slab_rows: int = 64, pages: int = 4,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Exact flow_warp via the NHWC-native tile-slab kernel.
+
+    feature: [B, H, W, C]; flow: [B, H, W, 2] (x, y). Requires
+    (B*H) % 8 == 0 and (W*C) % 128 == 0 with W*C >= pages*128; falls
+    back to the XLA gather otherwise, or (via lax.cond) whenever any
+    tile's flow spread exceeds the slab extents — ALWAYS exact.
+    """
+    B, H, W, C = feature.shape
+    S, P = slab_rows, pages
+    BH, WC = B * H, W * C
+    if BH % TILE_H or WC % TILE_W or WC < P * TILE_W or BH < S:
+        return warp_xla.flow_warp(feature, flow)
+
+    n_th, n_tl = BH // TILE_H, WC // TILE_W
+
+    # per-tile source extents in (B*H row, W*C lane) space
+    flow_f = flow.astype(jnp.float32)
+    lane_x = jnp.asarray(np.arange(WC, dtype=np.int32) // C)[None]  # [1, WC]
+    lane_ch = jnp.asarray(np.arange(WC, dtype=np.int32) % C)[None]
+    fx3 = jnp.broadcast_to(
+        flow_f[..., 0:1], (B, H, W, C)
+    ).reshape(BH, WC)
+    fy3 = jnp.broadcast_to(
+        flow_f[..., 1:2], (B, H, W, C)
+    ).reshape(BH, WC)
+    x0 = jnp.floor(lane_x.astype(jnp.float32) + fx3).astype(jnp.int32)
+    row_y = jnp.asarray(np.arange(BH, dtype=np.int32) % H)[:, None]
+    row_b = jnp.asarray(
+        (np.arange(BH, dtype=np.int32) // H) * H
+    )[:, None]
+    y0 = jnp.floor(row_y.astype(jnp.float32) + fy3).astype(jnp.int32)
+    l_top = jnp.clip(x0, 0, W - 1) * C + lane_ch
+    l_bot = jnp.clip(x0 + 1, 0, W - 1) * C + lane_ch
+    r_top = jnp.clip(y0, 0, H - 1) + row_b
+    r_bot = jnp.clip(y0 + 1, 0, H - 1) + row_b
+
+    def tile_reduce(v, fn):
+        return fn(v.reshape(n_th, TILE_H, n_tl, TILE_W), axis=(1, 3))
+
+    lmin = tile_reduce(l_top, jnp.min)
+    lmax = tile_reduce(l_bot, jnp.max)
+    rmin = tile_reduce(r_top, jnp.min)
+    rmax = tile_reduce(r_bot, jnp.max)
+    ymin_blk = (jnp.clip(rmin, 0, BH - S) // TILE_H) * TILE_H
+    lmin_blk = (jnp.clip(lmin, 0, WC - P * TILE_W) // TILE_W) * TILE_W
+    ok = jnp.all(rmax - ymin_blk <= S - 1) & jnp.all(
+        lmax - lmin_blk <= P * TILE_W - 1
+    )
+
+    dtype = feature.dtype
+
+    def fast(args):
+        feature, flow_f, ymin_blk, lmin_blk = args
+        img = feature.astype(jnp.float32).reshape(BH, WC)  # free reshape
+        fx3 = jnp.broadcast_to(flow_f[..., 0:1], (B, H, W, C)).reshape(BH, WC)
+        fy3 = jnp.broadcast_to(flow_f[..., 1:2], (B, H, W, C)).reshape(BH, WC)
+        out = _pallas_path_nhwc(
+            img, fx3, fy3, ymin_blk.reshape(-1), lmin_blk.reshape(-1),
+            H=H, W=W, C=C, S=S, P=P, B=B, interpret=interpret,
+        )
+        return out.reshape(B, H, W, C).astype(dtype)
+
+    def slow(args):
+        feature, flow_f, _, _ = args
+        return warp_xla.flow_warp(feature, flow_f).astype(dtype)
+
+    return jax.lax.cond(
+        ok, fast, slow, (feature, flow_f, ymin_blk, lmin_blk)
+    )
+
+
+def resolve_warp_impl(impl: str, channels: int) -> Tuple[str, bool]:
+    """-> (kernel, interpret) where kernel is 'nhwc' | 'chw' | 'xla'.
+
+    'auto' uses the CHW tile-slab kernel on TPU for narrow tensors
+    (images, flows, shallow features); wide feature maps keep the XLA
+    gather. The NHWC-lane-space variant ('tiled_nhwc') avoids the CHW
+    transposes but pays 3x per-lane weight math and an extra gather
+    page — measured net-slower at model level (244 vs 218 ms @1080p),
+    so 'auto' resolves to 'chw'. Forcing a tiled kernel off-TPU runs
+    it in interpret mode (CPU tests).
+    """
+    if impl in ("tiled", "tiled_chw"):
+        return "chw", jax.default_backend() != "tpu"
+    if impl == "tiled_nhwc":
+        return "nhwc", jax.default_backend() != "tpu"
     if impl == "xla":
-        return False, False
-    return jax.default_backend() == "tpu" and channels <= 4, False
+        return "xla", False
+    if jax.default_backend() == "tpu" and channels <= 4:
+        return "chw", False
+    return "xla", False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _tiled_warp(feature, flow, kernel: str, interpret: bool):
+    if kernel == "nhwc":
+        return flow_warp_tiled_nhwc(feature, flow, interpret=interpret)
+    return flow_warp_tiled(feature, flow, interpret=interpret)
+
+
+def _tiled_warp_fwd(feature, flow, kernel, interpret):
+    return _tiled_warp(feature, flow, kernel, interpret), (feature, flow)
+
+
+def _tiled_warp_bwd(kernel, interpret, res, g):
+    # the kernels are bit-exact with the XLA warp, so the XLA VJP is
+    # the true gradient (training runs the fast forward either way)
+    feature, flow = res
+    _, vjp = jax.vjp(warp_xla.flow_warp, feature, flow)
+    return vjp(g)
+
+
+_tiled_warp.defvjp(_tiled_warp_fwd, _tiled_warp_bwd)
 
 
 def flow_warp_dispatch(feature: jnp.ndarray, flow: jnp.ndarray,
                        impl: str = "auto") -> jnp.ndarray:
-    use_tiled, interpret = resolve_warp_impl(impl, feature.shape[-1])
-    if use_tiled:
-        return flow_warp_tiled(feature, flow, interpret=interpret)
-    return warp_xla.flow_warp(feature, flow)
+    kernel, interpret = resolve_warp_impl(impl, feature.shape[-1])
+    if kernel == "xla":
+        return warp_xla.flow_warp(feature, flow)
+    return _tiled_warp(feature, flow, kernel, interpret)
 
 
 def _tile_minmax(v, n_th, n_tw):
@@ -208,7 +468,7 @@ def _pallas_path(img_chw, flow, ymin_blk, xmin_blk, *, H, W, C, S, B, dtype,
         num_scalar_prefetch=2,  # ymin_blk (8-row units), xmin_blk (pages)
         grid=(n_t,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # img stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # img stays in HBM
             pl.BlockSpec(  # flow tile
                 (TILE_H, TILE_W, 2),
                 lambda t, ymin, xmin: (t // n_tw, t % n_tw, 0),
@@ -274,27 +534,36 @@ def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
     ok = ok_y & ok_x
 
     dtype = feature.dtype
+    # CHW transposes hoisted OUTSIDE the cond: conditional operands and
+    # results then carry clean [C, BH, W] f32 layouts instead of the
+    # T(4,128)-tiled C=3 NHWC form, which made XLA's conditional
+    # boundary copies a measurable cost (~6 ms/warp at 4K)
+    img_chw = feature.astype(jnp.float32).reshape(BH, W, C).transpose(2, 0, 1)
+    flow_f = flow.astype(jnp.float32).reshape(BH, W, 2)
 
     def fast(args):
-        feature, flow, ymin_blk, xmin_blk = args
-        img_chw = (
-            feature.astype(jnp.float32).reshape(BH, W, C).transpose(2, 0, 1)
-        )
-        flow_f = flow.astype(jnp.float32).reshape(BH, W, 2)
-        out = _pallas_path(
+        img_chw, flow_f, ymin_blk, xmin_blk = args
+        return _pallas_path(
             img_chw, flow_f, ymin_blk.reshape(-1), xmin_blk.reshape(-1),
             H=H, W=W, C=C, S=S, B=B, dtype=jnp.float32,
             interpret=interpret,
         )
-        return out.transpose(1, 2, 0).reshape(B, H, W, C).astype(dtype)
 
     def slow(args):
-        feature, flow, _, _ = args
-        return warp_xla.flow_warp(feature, flow)
+        # rare path (extreme flow spread): exact XLA gather, reshaped
+        # to match the fast branch's planar result layout
+        img_chw, flow_f, _, _ = args
+        feat = img_chw.transpose(1, 2, 0).reshape(B, H, W, C)
+        out = warp_xla.flow_warp(feat, flow_f.reshape(B, H, W, 2))
+        return out.reshape(BH, W, C).transpose(2, 0, 1)
 
     if unchecked:
         # serving mode: skip the exactness cond — taps beyond the slab
         # clamp to its edge (only reachable when per-tile flow spread
         # exceeds S-1 rows / 383 cols, i.e. pathological flows)
-        return fast((feature, flow, ymin_blk, xmin_blk))
-    return jax.lax.cond(ok, fast, slow, (feature, flow, ymin_blk, xmin_blk))
+        out = fast((img_chw, flow_f, ymin_blk, xmin_blk))
+    else:
+        out = jax.lax.cond(
+            ok, fast, slow, (img_chw, flow_f, ymin_blk, xmin_blk)
+        )
+    return out.transpose(1, 2, 0).reshape(B, H, W, C).astype(dtype)

@@ -32,6 +32,9 @@ def main():
     p.add_argument("--video", type=str)
     p.add_argument("--out", type=str, default="output_interpolated")
     p.add_argument("--factor", type=int, default=2, choices=[2, 4, 8])
+    p.add_argument("--batch", type=int, default=1,
+                   help="pairs per forward call in stream modes "
+                        "(throughput serving; output identical to batch=1)")
     p.add_argument("--fp32", action="store_true", help="f32 compute (parity)")
     p.add_argument("--combine_video", action="store_true",
                    help="also write an input-vs-output comparison strip")
@@ -87,9 +90,15 @@ def main():
         sources = [read_image(os.path.join(args.frames_dir, n)) for n in names]
         os.makedirs(args.out, exist_ok=True)
         count = 0
-        for i, frame in enumerate(
-            pipeline.interpolate_stream(iter(sources), factor=args.factor)
-        ):
+        if args.batch > 1:
+            stream = pipeline.interpolate_stream_batched(
+                iter(sources), factor=args.factor, batch=args.batch
+            )
+        else:
+            stream = pipeline.interpolate_stream(
+                iter(sources), factor=args.factor
+            )
+        for i, frame in enumerate(stream):
             if args.combine_video:
                 # stacked comparison: source (held N frames) above output
                 # (reference combine_frame_vert, demo_2x.py:89-98)
@@ -112,9 +121,14 @@ def main():
             sys.exit(1)
         out_path = args.out if args.out.endswith(".mp4") else args.out + ".mp4"
         writer = iio.get_writer(out_path, fps=fps * args.factor)
-        for frame in pipeline.interpolate_stream(
-            (np.asarray(f)[..., :3] for f in reader), factor=args.factor
-        ):
+        src = (np.asarray(f)[..., :3] for f in reader)
+        if args.batch > 1:
+            stream = pipeline.interpolate_stream_batched(
+                src, factor=args.factor, batch=args.batch
+            )
+        else:
+            stream = pipeline.interpolate_stream(src, factor=args.factor)
+        for frame in stream:
             writer.append_data(frame)
         writer.close()
         print(f"wrote {out_path} at {fps * args.factor} fps")

@@ -49,6 +49,26 @@ def test_interpolate_stream_2x(lite_pipeline):
     assert all(f.shape == frames[0].shape for f in out)
 
 
+@pytest.mark.parametrize("factor,n_frames,batch", [(2, 6, 2), (4, 4, 3)])
+def test_interpolate_stream_batched_matches_unbatched(
+    lite_pipeline, factor, n_frames, batch
+):
+    rng = np.random.default_rng(2)
+    frames = [
+        (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    want = list(lite_pipeline.interpolate_stream(iter(frames), factor=factor))
+    got = list(
+        lite_pipeline.interpolate_stream_batched(
+            iter(frames), factor=factor, batch=batch
+        )
+    )
+    assert len(got) == len(want) == factor * (n_frames - 1) + 1
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_interpolate_stream_4x(lite_pipeline):
     rng = np.random.default_rng(1)
     frames = [(rng.random((40, 56, 3)) * 255).astype(np.uint8) for _ in range(2)]

@@ -10,6 +10,7 @@ from atmvfi_tpu.ops.resize import resize_bilinear
 from atmvfi_tpu.ops.warp_pallas import (
     flow_warp_dispatch,
     flow_warp_tiled,
+    flow_warp_tiled_nhwc,
     resolve_warp_impl,
 )
 
@@ -39,6 +40,43 @@ def test_tiled_matches_xla(name, B, H, W, C, mag):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "name,B,H,W,C,mag",
+    [
+        ("smooth", 1, 64, 384, 3, 4.0),
+        ("edges", 1, 64, 384, 3, 30.0),  # pushes taps off-image
+        ("batch", 2, 64, 384, 2, 3.0),
+        ("c1", 1, 64, 512, 1, 5.0),      # flow-like single channel
+        ("c4", 1, 64, 384, 4, 3.0),
+        ("spread", 1, 96, 384, 3, 80.0),  # exceeds slab -> cond fallback
+    ],
+)
+def test_tiled_nhwc_matches_xla(name, B, H, W, C, mag):
+    rng = np.random.default_rng(1)
+    feat = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    flow = _smooth_flow(B, H, W, mag, seed=hash(name) % 100)
+    got = flow_warp_tiled_nhwc(feat, flow, interpret=True)
+    want = warp_xla.flow_warp(feat, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_tiled_nhwc_gradients_match_xla():
+    rng = np.random.default_rng(7)
+    feat = jnp.asarray(rng.random((1, 64, 384, 3)), jnp.float32)
+    flow = _smooth_flow(1, 64, 384, 3.0, seed=9)
+
+    def loss_tiled(f, fl):
+        return jnp.sum(flow_warp_dispatch(f, fl, impl="tiled") ** 2)
+
+    def loss_xla(f, fl):
+        return jnp.sum(warp_xla.flow_warp(f, fl) ** 2)
+
+    gf_t, gl_t = jax.grad(loss_tiled, argnums=(0, 1))(feat, flow)
+    gf_x, gl_x = jax.grad(loss_xla, argnums=(0, 1))(feat, flow)
+    np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl_t), np.asarray(gl_x), atol=1e-3)
+
+
 def test_small_inputs_fall_back():
     rng = np.random.default_rng(2)
     feat = jnp.asarray(rng.random((1, 16, 24, 3)), jnp.float32)
@@ -48,13 +86,15 @@ def test_small_inputs_fall_back():
 
 
 def test_resolver():
-    assert resolve_warp_impl("xla", 3) == (False, False)
-    use, interp = resolve_warp_impl("tiled", 3)
-    assert use is True
-    auto_use, _ = resolve_warp_impl("auto", 3)
-    assert auto_use == (jax.default_backend() == "tpu")
-    wide_use, _ = resolve_warp_impl("auto", 24)
-    assert wide_use is False  # DMA-amplification bounded
+    assert resolve_warp_impl("xla", 3) == ("xla", False)
+    kernel, interp = resolve_warp_impl("tiled", 3)
+    assert kernel == "chw"
+    assert resolve_warp_impl("tiled_nhwc", 3)[0] == "nhwc"
+    auto_kernel, _ = resolve_warp_impl("auto", 3)
+    on_tpu = jax.default_backend() == "tpu"
+    assert auto_kernel == ("chw" if on_tpu else "xla")
+    wide_kernel, _ = resolve_warp_impl("auto", 24)
+    assert wide_kernel == "xla"  # per-tile pixel span too narrow
 
 
 def test_dispatch_xla_matches_flow_warp():
