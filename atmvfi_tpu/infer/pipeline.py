@@ -130,15 +130,18 @@ class InterpolationPipeline:
 
         Groups `batch` consecutive (prev, next) pairs into ONE forward
         call — video 2x interpolation is embarrassingly parallel across
-        pairs, and a single 4K frame leaves the MXU underutilized, so
-        batching trades a little latency for substantially higher
-        frames/sec/chip. Output order and values are identical to
-        `interpolate_stream` (the recursion runs on stacked tensors).
+        pairs. Output order matches `interpolate_stream`; values are
+        bit-identical on a given backend up to XLA reduction-order ulp
+        differences between the batch-1 and batch-N graphs (verified
+        bit-exact on CPU). A short final tail is padded to `batch` by
+        repeating the last pair (extra outputs dropped), so the whole
+        stream runs through ONE compiled graph shape.
         """
         assert factor in (2, 4, 8), "factor must be a power of 2 (2/4/8)"
         assert batch >= 1
         padder = None
         pend: List[jnp.ndarray] = []  # padded device frames, oldest first
+        flushed = False  # whether the batch-N graph has been compiled
 
         for frame in frames:
             x = jnp.asarray(frame, jnp.float32)[None] / 255.0
@@ -149,17 +152,30 @@ class InterpolationPipeline:
                 a = jnp.concatenate(pend[:-1], axis=0)
                 b = jnp.concatenate(pend[1:], axis=0)
                 seq = self._recursive_midpoints(a, b, factor)
+                flushed = True
                 for i in range(batch):
                     for f in seq:
                         yield self._to_uint8(padder.unpad(f[i : i + 1]))
                 pend = pend[-1:]
         if padder is None:
             return
-        if len(pend) >= 2:  # short tail: one smaller batched call
-            a = jnp.concatenate(pend[:-1], axis=0)
-            b = jnp.concatenate(pend[1:], axis=0)
+        if len(pend) >= 2:
+            # short tail: if the batch-N graph already exists, pad to
+            # `batch` pairs by repeating the last pair so it's reused
+            # (a smaller batch would force a second multi-minute jit
+            # compile of the full model) and drop the extra outputs;
+            # for streams shorter than one full batch, run at the
+            # actual size instead of compiling an oversized graph
+            k = len(pend) - 1
+            if flushed:
+                a_list = pend[:-1] + [pend[-2]] * (batch - k)
+                b_list = pend[1:] + [pend[-1]] * (batch - k)
+            else:
+                a_list, b_list = pend[:-1], pend[1:]
+            a = jnp.concatenate(a_list, axis=0)
+            b = jnp.concatenate(b_list, axis=0)
             seq = self._recursive_midpoints(a, b, factor)
-            for i in range(len(pend) - 1):
+            for i in range(k):
                 for f in seq:
                     yield self._to_uint8(padder.unpad(f[i : i + 1]))
         yield self._to_uint8(padder.unpad(pend[-1]))

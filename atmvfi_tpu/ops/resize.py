@@ -43,11 +43,11 @@ def _resize_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
     rows sum to exactly 1 (single-tap rows get (1-w) + w at the same
     slot), and accumulation is f32 even for bf16 inputs.
     """
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        raise TypeError(f"resize_bilinear needs float input, got {x.dtype}")
     in_size = x.shape[axis]
     if out_size == in_size:
         return x
-    if not jnp.issubdtype(x.dtype, jnp.floating):
-        raise TypeError(f"resize_bilinear needs float input, got {x.dtype}")
     i0, i1, w1 = _axis_coeffs(in_size, out_size)
     iota = jnp.arange(in_size, dtype=jnp.int32)[None, :]          # [1, in]
     i0c = jnp.asarray(i0)[:, None]                                 # [out, 1]

@@ -334,6 +334,13 @@ def flow_warp_tiled_nhwc(feature: jnp.ndarray, flow: jnp.ndarray,
     (B*H) % 8 == 0 and (W*C) % 128 == 0 with W*C >= pages*128; falls
     back to the XLA gather otherwise, or (via lax.cond) whenever any
     tile's flow spread exceeds the slab extents — ALWAYS exact.
+
+    NOTE: non-default experimental variant (see resolve_warp_impl) —
+    measured net-slower than the CHW kernel at model level. Known
+    inefficiency kept for simplicity: per-tile extents are reduced
+    over [B*H, W*C] lane arrays (C x larger than the flow), and the
+    channel-broadcast flow planes appear both in the extent pass and
+    the fast branch (XLA may or may not CSE across the cond).
     """
     B, H, W, C = feature.shape
     S, P = slab_rows, pages

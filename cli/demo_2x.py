@@ -34,7 +34,8 @@ def main():
     p.add_argument("--factor", type=int, default=2, choices=[2, 4, 8])
     p.add_argument("--batch", type=int, default=1,
                    help="pairs per forward call in stream modes "
-                        "(throughput serving; output identical to batch=1)")
+                        "(throughput serving; same outputs as batch=1 "
+                        "up to float reduction-order ulps)")
     p.add_argument("--fp32", action="store_true", help="f32 compute (parity)")
     p.add_argument("--combine_video", action="store_true",
                    help="also write an input-vs-output comparison strip")

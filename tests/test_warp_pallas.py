@@ -60,13 +60,14 @@ def test_tiled_nhwc_matches_xla(name, B, H, W, C, mag):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
-def test_tiled_nhwc_gradients_match_xla():
+@pytest.mark.parametrize("impl", ["tiled", "tiled_nhwc"])
+def test_tiled_gradients_match_xla(impl):
     rng = np.random.default_rng(7)
     feat = jnp.asarray(rng.random((1, 64, 384, 3)), jnp.float32)
     flow = _smooth_flow(1, 64, 384, 3.0, seed=9)
 
     def loss_tiled(f, fl):
-        return jnp.sum(flow_warp_dispatch(f, fl, impl="tiled") ** 2)
+        return jnp.sum(flow_warp_dispatch(f, fl, impl=impl) ** 2)
 
     def loss_xla(f, fl):
         return jnp.sum(warp_xla.flow_warp(f, fl) ** 2)
