@@ -49,7 +49,14 @@ def test_interpolate_stream_2x(lite_pipeline):
     assert all(f.shape == frames[0].shape for f in out)
 
 
-@pytest.mark.parametrize("factor,n_frames,batch", [(2, 6, 2), (4, 4, 3)])
+@pytest.mark.parametrize(
+    "factor,n_frames,batch",
+    [
+        (2, 6, 2),   # two full flushes + padded tail (batch graph reused)
+        (4, 4, 3),   # exact flush, no tail
+        (2, 3, 8),   # stream shorter than one batch: unpadded tail path
+    ],
+)
 def test_interpolate_stream_batched_matches_unbatched(
     lite_pipeline, factor, n_frames, batch
 ):
