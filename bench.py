@@ -34,10 +34,7 @@ def build(variant):
         lambda a, b: net.init(rng, a, b, global_motion=True)
     )(dummy, dummy)
     jax.block_until_ready(variables)
-    fwd = jax.jit(
-        lambda v, a, b: net.apply(v, a, b, global_motion=True)["I_t"]
-    )
-    return variables, fwd
+    return variables, net
 
 
 def bench_vimeo_res(variant, iters=20):
@@ -83,7 +80,16 @@ def bench_vimeo_res(variant, iters=20):
     return iters / (time.time() - t0)
 
 
-def bench_resolution(variables, fwd, h, w, iters):
+def bench_resolution(variables, net, h, w, iters):
+    """Steady-state fps: iters distinct frames through one lax.scan.
+
+    The scan body (one full forward) compiles once; a carried token
+    serializes the iterations on-device, and timing fences a single
+    scalar readback at the end. This measures device throughput without
+    paying the ~30 ms relay round-trip once per frame (readback is the
+    only reliable fence through the relay — block_until_ready can
+    return early), while distinct inputs defeat any request dedup.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -92,21 +98,23 @@ def bench_resolution(variables, fwd, h, w, iters):
     rng = np.random.default_rng(0)
     padder = InputPadder((1, h, w, 3), divisor=64)
     ph, pw = padder.padded_shape
-    xs = [
-        jnp.asarray(rng.random((1, ph, pw, 3), np.float32))
-        for _ in range(iters)
-    ]
-    # NOTE: timing forces a scalar readback per call — through the
-    # remote-device relay, block_until_ready can return before the
-    # computation finishes, so readback is the only reliable fence.
+    stacked = jnp.asarray(rng.random((iters, 1, ph, pw, 3), np.float32))
+
+    def chained(variables, stacked):
+        def body(tok, x):
+            xi = x + tok  # data dependency: forces sequential execution
+            y = net.apply(variables, xi, xi, global_motion=True)["I_t"]
+            return y[:, :1, :1, :1] * 0.0, y.mean()
+
+        _, means = jax.lax.scan(body, jnp.zeros((1, 1, 1, 1)), stacked)
+        return means.sum()
+
+    cf = jax.jit(chained)
     t0 = time.time()
-    out = fwd(variables, xs[0], xs[0])
-    float(out.mean())
+    float(cf(variables, stacked))
     log(f"  first call (compile+run) {h}x{w}: {time.time()-t0:.1f}s")
-    float(fwd(variables, xs[-1], xs[-1]).mean())  # warm
     t0 = time.time()
-    for x in xs:
-        float(fwd(variables, x, x).mean())
+    float(cf(variables, stacked))
     dt = (time.time() - t0) / iters
     return 1.0 / dt
 
@@ -117,15 +125,15 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    variables, fwd = build("base")
-    fps_1080 = bench_resolution(variables, fwd, 1080, 1920, 8)
+    variables, bnet = build("base")
+    fps_1080 = bench_resolution(variables, bnet, 1080, 1920, 8)
     log(f"base 1080p 2x interp: {fps_1080:.2f} fps/chip")
-    fps_4k = bench_resolution(variables, fwd, 2160, 3840, 4)
+    fps_4k = bench_resolution(variables, bnet, 2160, 3840, 4)
     log(f"base 4K 2x interp: {fps_4k:.2f} fps/chip")
 
-    lvars, lfwd = build("lite")
-    lite_1080 = bench_resolution(lvars, lfwd, 1080, 1920, 8)
-    lite_4k = bench_resolution(lvars, lfwd, 2160, 3840, 4)
+    lvars, lnet = build("lite")
+    lite_1080 = bench_resolution(lvars, lnet, 1080, 1920, 8)
+    lite_4k = bench_resolution(lvars, lnet, 2160, 3840, 4)
     log(f"lite 1080p {lite_1080:.2f} fps | lite 4K {lite_4k:.2f} fps")
 
     vimeo_fps = bench_vimeo_res("base")
