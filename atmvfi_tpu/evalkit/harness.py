@@ -22,6 +22,7 @@ from __future__ import annotations
 import glob
 import math
 import os
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -64,6 +65,7 @@ def run_vimeo90k(pipeline: InterpolationPipeline, path: str,
                  tta: bool = False, limit: Optional[int] = None,
                  progress: bool = True, tta_swaporder: bool = False) -> Dict:
     """test_vimeo90k.py protocol (global off enforced by caller)."""
+    t_start = time.time()
     psnr_m, ssim_m = AverageMeter(), AverageMeter()
     with open(os.path.join(path, "tri_testlist.txt")) as f:
         names = [l.strip() for l in f if len(l.strip()) > 1]
@@ -83,12 +85,15 @@ def run_vimeo90k(pipeline: InterpolationPipeline, path: str,
         ssim_m.update(ssim)
         if progress:
             print(f"{i+1}/{len(names)} psnr {psnr_m.avg:.4f}", end="\r")
-    return {"psnr": psnr_m.avg, "ssim": ssim_m.avg, "n": len(names)}
+    dt = time.time() - t_start
+    return {"psnr": psnr_m.avg, "ssim": ssim_m.avg, "n": len(names),
+            "seconds": dt, "fps": len(names) / dt if dt else 0.0}
 
 
 def run_ucf101(pipeline: InterpolationPipeline, path: str,
                tta: bool = False, limit: Optional[int] = None) -> Dict:
     """test_ucf101.py protocol: SSIM on rounded prediction."""
+    t_start = time.time()
     psnr_m, ssim_m = AverageMeter(), AverageMeter()
     dirs = sorted(os.listdir(path))
     if limit:
@@ -105,7 +110,9 @@ def run_ucf101(pipeline: InterpolationPipeline, path: str,
         psnr = -10 * math.log10(((g - out) ** 2).mean())
         psnr_m.update(psnr)
         ssim_m.update(ssim)
-    return {"psnr": psnr_m.avg, "ssim": ssim_m.avg, "n": len(dirs)}
+    dt = time.time() - t_start
+    return {"psnr": psnr_m.avg, "ssim": ssim_m.avg, "n": len(dirs),
+            "seconds": dt, "fps": len(dirs) / dt if dt else 0.0}
 
 
 SNU_SPLITS = ("easy", "medium", "hard", "extreme")
@@ -117,6 +124,7 @@ def run_snufilm(pipeline: InterpolationPipeline, path: str,
     """test_snufilm.py protocol: pad 64, four difficulty splits."""
     results = {}
     for split in splits:
+        t_start = time.time()
         psnr_m, ssim_m = AverageMeter(), AverageMeter()
         file_list = []
         with open(os.path.join(path, f"test-{split}.txt")) as f:
@@ -139,8 +147,10 @@ def run_snufilm(pipeline: InterpolationPipeline, path: str,
             psnr = -10 * math.log10(((gt - mid) ** 2).mean())
             psnr_m.update(psnr)
             ssim_m.update(ssim)
+        dt = time.time() - t_start
         results[split] = {"psnr": psnr_m.avg, "ssim": ssim_m.avg,
-                          "n": len(file_list)}
+                          "n": len(file_list), "seconds": dt,
+                          "fps": len(file_list) / dt if dt else 0.0}
     return results
 
 
@@ -169,6 +179,7 @@ def run_xiph(pipeline: InterpolationPipeline, root: str,
     """
     results = {}
     for category in categories:
+        t_start = time.time()
         psnr_m, ssim_m = AverageMeter(), AverageMeter()
         for clip in clips:
             d = os.path.join(root, clip)
@@ -199,8 +210,10 @@ def run_xiph(pipeline: InterpolationPipeline, root: str,
                 pred = padder.unpad(_forward_tta(pipeline, x0p, x1p, tta))
                 psnr_m.update(float(metrics.psnr(pred, xt)))
                 ssim_m.update(float(metrics.ssim_matlab(pred, xt)))
+        dt = time.time() - t_start
         results[category] = {"psnr": psnr_m.avg, "ssim": ssim_m.avg,
-                             "n": psnr_m.count}
+                             "n": psnr_m.count, "seconds": dt,
+                             "fps": psnr_m.count / dt if dt else 0.0}
     return results
 
 

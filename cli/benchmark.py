@@ -25,6 +25,10 @@ def main():
     p.add_argument("--ensemble_global", action="store_true")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--profiling", action="store_true",
+                   help="suppress per-item progress prints so external "
+                        "timing isn't skewed (test_vimeo90k.py:62 parity); "
+                        "runners always report seconds/fps in the result")
     p.add_argument("--seed", type=int, default=22112023)
     args = p.parse_args()
 
@@ -48,6 +52,7 @@ def main():
 
     if args.dataset == "vimeo90k":
         res = harness.run_vimeo90k(pipeline, args.path, args.TTA, args.limit,
+                                   progress=not args.profiling,
                                    tta_swaporder=args.TTA_swaporder)
     elif args.dataset == "ucf101":
         res = harness.run_ucf101(pipeline, args.path, args.TTA, args.limit)
