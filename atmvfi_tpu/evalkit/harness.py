@@ -27,6 +27,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from atmvfi_tpu.evalkit import metrics
@@ -61,11 +62,46 @@ def _to_unit(img: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(img, jnp.float32)[None] / 255.0
 
 
+class _SteadyTimer:
+    """Per-item forward timer excluding the first call per input shape.
+
+    Runner results carry two timing views: `seconds`/`fps` are WALL
+    CLOCK over the whole run — they include jit compiles (one per shape
+    bucket; minutes through a device relay) and metric computation, so
+    they under-report model throughput. `steady_fps` counts only
+    post-compile forward calls (fenced with block_until_ready, metric
+    math excluded) and is the number comparable against bench.py's
+    device-true fps — up to the per-item host->device transfer, and up
+    to relay fence slack (block_until_ready can return early there).
+    """
+
+    def __init__(self):
+        self._seen = set()
+        self.steady = 0.0
+        self.n = 0
+
+    def run(self, key, fn):
+        t0 = time.time()
+        out = jax.block_until_ready(fn())
+        dt = time.time() - t0
+        if key in self._seen:
+            self.steady += dt
+            self.n += 1
+        else:
+            self._seen.add(key)
+        return out
+
+    @property
+    def fps(self) -> float:
+        return self.n / self.steady if self.steady > 0 else 0.0
+
+
 def run_vimeo90k(pipeline: InterpolationPipeline, path: str,
                  tta: bool = False, limit: Optional[int] = None,
                  progress: bool = True, tta_swaporder: bool = False) -> Dict:
     """test_vimeo90k.py protocol (global off enforced by caller)."""
     t_start = time.time()
+    timer = _SteadyTimer()
     psnr_m, ssim_m = AverageMeter(), AverageMeter()
     with open(os.path.join(path, "tri_testlist.txt")) as f:
         names = [l.strip() for l in f if len(l.strip()) > 1]
@@ -76,7 +112,9 @@ def run_vimeo90k(pipeline: InterpolationPipeline, path: str,
         I0 = _to_unit(read_image(os.path.join(base, "im1.png")))
         I1 = read_image(os.path.join(base, "im2.png"))
         I2 = _to_unit(read_image(os.path.join(base, "im3.png")))
-        pred = _forward_tta(pipeline, I0, I2, tta, tta_swaporder)
+        pred = timer.run(
+            I0.shape, lambda: _forward_tta(pipeline, I0, I2, tta, tta_swaporder)
+        )
         ssim = float(metrics.ssim_matlab(_to_unit(I1), pred))
         mid = np.asarray(pred[0], np.float64)
         gt = I1.astype(np.float64) / 255.0
@@ -87,13 +125,15 @@ def run_vimeo90k(pipeline: InterpolationPipeline, path: str,
             print(f"{i+1}/{len(names)} psnr {psnr_m.avg:.4f}", end="\r")
     dt = time.time() - t_start
     return {"psnr": psnr_m.avg, "ssim": ssim_m.avg, "n": len(names),
-            "seconds": dt, "fps": len(names) / dt if dt else 0.0}
+            "seconds": dt, "fps": len(names) / dt if dt else 0.0,
+            "steady_fps": timer.fps}
 
 
 def run_ucf101(pipeline: InterpolationPipeline, path: str,
                tta: bool = False, limit: Optional[int] = None) -> Dict:
     """test_ucf101.py protocol: SSIM on rounded prediction."""
     t_start = time.time()
+    timer = _SteadyTimer()
     psnr_m, ssim_m = AverageMeter(), AverageMeter()
     dirs = sorted(os.listdir(path))
     if limit:
@@ -102,7 +142,9 @@ def run_ucf101(pipeline: InterpolationPipeline, path: str,
         img0 = _to_unit(read_image(os.path.join(path, d, "frame_00.png")))
         img1 = _to_unit(read_image(os.path.join(path, d, "frame_02.png")))
         gt = _to_unit(read_image(os.path.join(path, d, "frame_01_gt.png")))
-        pred = _forward_tta(pipeline, img0, img1, tta)
+        pred = timer.run(
+            img0.shape, lambda: _forward_tta(pipeline, img0, img1, tta)
+        )
         rounded = jnp.round(pred * 255.0) / 255.0
         ssim = float(metrics.ssim_matlab(gt, rounded))
         out = np.asarray(rounded[0], np.float64)
@@ -112,7 +154,8 @@ def run_ucf101(pipeline: InterpolationPipeline, path: str,
         ssim_m.update(ssim)
     dt = time.time() - t_start
     return {"psnr": psnr_m.avg, "ssim": ssim_m.avg, "n": len(dirs),
-            "seconds": dt, "fps": len(dirs) / dt if dt else 0.0}
+            "seconds": dt, "fps": len(dirs) / dt if dt else 0.0,
+            "steady_fps": timer.fps}
 
 
 SNU_SPLITS = ("easy", "medium", "hard", "extreme")
@@ -125,6 +168,7 @@ def run_snufilm(pipeline: InterpolationPipeline, path: str,
     results = {}
     for split in splits:
         t_start = time.time()
+        timer = _SteadyTimer()
         psnr_m, ssim_m = AverageMeter(), AverageMeter()
         file_list = []
         with open(os.path.join(path, f"test-{split}.txt")) as f:
@@ -140,7 +184,9 @@ def run_snufilm(pipeline: InterpolationPipeline, path: str,
             I2 = _to_unit(read_image(os.path.join(path, p2)))
             padder = InputPadder(I0.shape, divisor=64)
             I0p, I2p = padder.pad(I0, I2)
-            pred = padder.unpad(_forward_tta(pipeline, I0p, I2p, tta))
+            pred = padder.unpad(timer.run(
+                I0p.shape, lambda: _forward_tta(pipeline, I0p, I2p, tta)
+            ))
             ssim = float(metrics.ssim_matlab(I1, pred))
             mid = np.asarray(pred[0], np.float64)
             gt = np.asarray(I1[0], np.float64)
@@ -150,7 +196,8 @@ def run_snufilm(pipeline: InterpolationPipeline, path: str,
         dt = time.time() - t_start
         results[split] = {"psnr": psnr_m.avg, "ssim": ssim_m.avg,
                           "n": len(file_list), "seconds": dt,
-                          "fps": len(file_list) / dt if dt else 0.0}
+                          "fps": len(file_list) / dt if dt else 0.0,
+                          "steady_fps": timer.fps}
     return results
 
 
@@ -180,6 +227,7 @@ def run_xiph(pipeline: InterpolationPipeline, root: str,
     results = {}
     for category in categories:
         t_start = time.time()
+        timer = _SteadyTimer()
         psnr_m, ssim_m = AverageMeter(), AverageMeter()
         for clip in clips:
             d = os.path.join(root, clip)
@@ -207,13 +255,16 @@ def run_xiph(pipeline: InterpolationPipeline, root: str,
                 x0, x1, xt = (_to_unit(im) for im in (img0, img1, imgt))
                 padder = InputPadder(x0.shape, divisor=32)
                 x0p, x1p = padder.pad(x0, x1)
-                pred = padder.unpad(_forward_tta(pipeline, x0p, x1p, tta))
+                pred = padder.unpad(timer.run(
+                    x0p.shape, lambda: _forward_tta(pipeline, x0p, x1p, tta)
+                ))
                 psnr_m.update(float(metrics.psnr(pred, xt)))
                 ssim_m.update(float(metrics.ssim_matlab(pred, xt)))
         dt = time.time() - t_start
         results[category] = {"psnr": psnr_m.avg, "ssim": ssim_m.avg,
                              "n": psnr_m.count, "seconds": dt,
-                             "fps": psnr_m.count / dt if dt else 0.0}
+                             "fps": psnr_m.count / dt if dt else 0.0,
+                             "steady_fps": timer.fps}
     return results
 
 

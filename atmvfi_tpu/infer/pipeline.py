@@ -29,8 +29,13 @@ class InterpolationPipeline:
 
     def __init__(self, variables, variant: str = "base", dtype=jnp.bfloat16,
                  global_motion: bool = True, ensemble_global_motion: bool = False,
-                 pad_divisor: int = 64, donate: bool = True):
+                 pad_divisor: int = 64, donate: bool = True,
+                 fast: bool = False):
         self.cfg = get_config(variant, dtype=dtype)
+        if fast:
+            # serving profile: unchecked slab warps + composed full-res
+            # warps (ATMVFIConfig.fast; deviation measured in PERF_NOTES)
+            self.cfg = self.cfg.fast()
         self.net = Network(self.cfg)
         self.variables = variables
         self.global_motion = global_motion

@@ -38,6 +38,23 @@ class ATMVFIConfig:
     # backward-warp backend: "auto" (tiled Pallas kernel on TPU for
     # narrow tensors, xla otherwise), "tiled", or "xla"
     warp_impl: str = "auto"
+    # full-res conv backend: "auto" (Pallas HCW conv3x3 runs on TPU at
+    # qualifying shapes), "pallas" (forced; interpret off-TPU), "xla"
+    conv_impl: str = "auto"
+    # fast-serving approximation: skip the full-resolution global
+    # pre-alignment warps and fold the global flow into the decoder's
+    # final flows instead (one resampling instead of two). Saves two
+    # full-res warps/frame; deviation measured in PERF_NOTES. Opt-in.
+    compose_full_res_warps: bool = False
+
+    def fast(self) -> "ATMVFIConfig":
+        """Serving profile: unchecked slab warps + composed full-res
+        warps (VERDICT round-1 item 3). Exactness conds are skipped and
+        the double full-res resampling is approximated; use the default
+        config for parity/eval."""
+        return dataclasses.replace(
+            self, warp_impl="tiled_unchecked", compose_full_res_warps=True
+        )
 
     # ---- derived quantities ----
     @property

@@ -43,8 +43,37 @@ def prelu(x, alpha):
     return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
 
 
+class ConvParams(nn.Module):
+    """Bare conv kernel+bias holder — same param tree as nn.Conv
+    ({"kernel", "bias"}), so checkpoints/converters are unaffected while
+    the COMPUTE can be routed to either lax.conv or the Pallas HCW
+    kernel (ops/conv_pallas.py)."""
+
+    features: int
+    in_features: int
+    kernel: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", torch_conv_kernel_init(),
+            (self.kernel, self.kernel, self.in_features, self.features),
+        )
+        b = self.param("bias", torch_conv_bias_init(self.fan_in),
+                       (self.features,))
+        return k, b
+
+
 class ConvPReLU(nn.Module):
-    """conv3x3 + PReLU helper (reference `conv`, network_base.py:20-25)."""
+    """conv3x3 + PReLU helper (reference `conv`, network_base.py:20-25).
+
+    `__call__(x)` is the NHWC XLA path. `__call__(x, hcw_h=H)` takes
+    HCW activations [B*H, Cpad8, W] and runs the fused Pallas
+    conv+bias+PReLU kernel (stride/dilation 1 only) — used for the
+    full-resolution decoder/refiner runs where XLA's conv-boundary
+    layout copies dominate (PERF_NOTES.md).
+    """
 
     features: int
     kernel: int = 3
@@ -54,21 +83,75 @@ class ConvPReLU(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        fan_in = self.kernel * self.kernel * x.shape[-1]
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=self.stride,
-            padding=[(self.padding, self.padding)] * 2,
-            kernel_dilation=self.dilation,
-            kernel_init=torch_conv_kernel_init(),
-            bias_init=torch_conv_bias_init(fan_in),
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+    def __call__(self, x, hcw: Optional[tuple] = None,
+                 interpret: bool = False):
+        """NHWC XLA path by default. With `hcw=(cin_true, H)` (static),
+        x is HCW [B*H, pad8(cin_true), W] and the fused Pallas
+        conv+bias+PReLU kernel runs (stride/dilation 1 only); padded
+        channels stay exactly zero (pack_conv3x3_weights_padded)."""
+        from atmvfi_tpu.ops import conv_pallas as cp
+
+        cin = hcw[0] if hcw is not None else x.shape[-1]
+        fan_in = self.kernel * self.kernel * cin
+        k, b = ConvParams(
+            self.features, cin, self.kernel, fan_in, name="conv"
+        )()
         alpha = self.param("prelu", prelu_init, (self.features,))
+        if hcw is not None:
+            assert (
+                self.kernel == 3 and self.stride == 1 and self.dilation == 1
+            )
+            kt = cp.pack_conv3x3_weights_padded(k).astype(self.dtype)
+            return cp.conv3x3_hcw(
+                x.astype(self.dtype), kt,
+                cp.pad_channel_vec(b), cp.pad_channel_vec(alpha),
+                H=hcw[1], interpret=interpret,
+            )
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b.astype(self.dtype)
         return prelu(x, alpha)
+
+
+class PlainConv(nn.Module):
+    """conv (no activation) with the same param tree as a bare nn.Conv
+    ({"kernel", "bias"}); supports the Pallas HCW path like ConvPReLU."""
+
+    features: int
+    in_features: int
+    kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hcw: Optional[tuple] = None,
+                 interpret: bool = False):
+        from atmvfi_tpu.ops import conv_pallas as cp
+
+        fan_in = self.kernel * self.kernel * self.in_features
+        k = self.param(
+            "kernel", torch_conv_kernel_init(),
+            (self.kernel, self.kernel, self.in_features, self.features),
+        )
+        b = self.param("bias", torch_conv_bias_init(fan_in),
+                       (self.features,))
+        if hcw is not None:
+            assert self.kernel == 3
+            kt = cp.pack_conv3x3_weights_padded(k).astype(self.dtype)
+            return cp.conv3x3_hcw(
+                x.astype(self.dtype), kt, cp.pad_channel_vec(b), None,
+                H=hcw[1], interpret=interpret,
+            )
+        pad = self.kernel // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k.astype(self.dtype),
+            window_strides=(1, 1), padding=[(pad, pad)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b.astype(self.dtype)
 
 
 class Deconv2x(nn.Module):

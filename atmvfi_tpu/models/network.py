@@ -26,26 +26,20 @@ from flax import linen as nn
 from atmvfi_tpu import ops
 from atmvfi_tpu.models.config import ATMVFIConfig
 from atmvfi_tpu.models.fusion import CrossScaleFeatureFusion
-from atmvfi_tpu.models.initializers import torch_conv_bias_init, torch_conv_kernel_init
 from atmvfi_tpu.models.layers import (
     ATMFormer,
     ConvPReLU,
     Deconv2x,
+    PlainConv,
     PReLU,
     RefineBottleneck,
 )
 
 
 def _plain_conv(features: int, kernel: int, in_features: int, dtype, name: str):
-    """nn.Conv with PyTorch-default init and explicit 'same' padding."""
-    pad = kernel // 2
-    return nn.Conv(
-        features,
-        (kernel, kernel),
-        padding=[(pad, pad)] * 2,
-        kernel_init=torch_conv_kernel_init(),
-        bias_init=torch_conv_bias_init(kernel * kernel * in_features),
-        dtype=dtype,
+    """Bare conv with PyTorch-default init (param tree == nn.Conv's)."""
+    return PlainConv(
+        features, in_features=in_features, kernel=kernel, dtype=dtype,
         name=name,
     )
 
@@ -177,6 +171,18 @@ class Network(nn.Module):
 
         return flow_warp_dispatch(feature, flow, impl=self.cfg.warp_impl)
 
+    def _warp_blend(self, im0, im1, flow0, flow1, occ):
+        """(I_t, I_t_0, I_t_1) via the fused dual-warp+blend kernel.
+
+        I_t is produced in ONE kernel (single output stream, in-kernel
+        blend); the warped frames come from independent dispatches that
+        XLA drops when only I_t is consumed (the serving jit).
+        """
+        from atmvfi_tpu.ops.warp_pallas import flow_warp_blend
+
+        return flow_warp_blend(im0, im1, flow0, flow1, occ,
+                               impl=self.cfg.warp_impl)
+
     # ------------------------------------------------------------------
     # sub-towers
     # ------------------------------------------------------------------
@@ -234,21 +240,56 @@ class Network(nn.Module):
         occ1 = jax.nn.sigmoid(out_f[..., 4:5])
         return flow0, flow1, occ1
 
+    def _conv_pair_hcw(self, conv_a, conv_b, feat):
+        """Run two stride-1 3x3 convs, through the Pallas HCW kernel when
+        cfg.conv_impl resolves to it for this shape (full-res stages:
+        XLA's conv layout copies cost more than the convs, PERF_NOTES)."""
+        from atmvfi_tpu.ops import conv_pallas as cp
+
+        use, interp = cp.resolve_conv_impl(self.cfg.conv_impl, feat.shape)
+        if not use:
+            return conv_b(conv_a(feat))
+        B, H = feat.shape[0], feat.shape[1]
+        cin = feat.shape[-1]
+        xh = cp.nhwc_to_hcw(feat)
+        xh = conv_a(xh, hcw=(cin, H), interpret=interp)
+        xh = conv_b(xh, hcw=(conv_a.features, H), interpret=interp)
+        return cp.hcw_to_nhwc(xh, B, conv_b.features)
+
     def residual_refinement(self, feat, im0, I_t_0, im1, I_t_1, I_t, skips):
+        from atmvfi_tpu.ops import conv_pallas as cp
+
         dt = self.cfg.dtype
-        feat0 = self.refine_proj(
-            jnp.concatenate(
-                [feat] + [t.astype(dt) for t in (im0, I_t_0, im1, I_t_1, I_t)],
-                axis=-1,
-            )
+        cat0 = jnp.concatenate(
+            [feat] + [t.astype(dt) for t in (im0, I_t_0, im1, I_t_1, I_t)],
+            axis=-1,
         )
+        use, interp = cp.resolve_conv_impl(self.cfg.conv_impl, cat0.shape)
+        B, H = cat0.shape[0], cat0.shape[1]
+        if use:
+            xh = cp.nhwc_to_hcw(cat0)
+            xh = self.refine_proj(xh, hcw=(cat0.shape[-1], H),
+                                  interpret=interp)
+            feat0 = cp.hcw_to_nhwc(xh, B, self.refine_proj.features)
+        else:
+            feat0 = self.refine_proj(cat0)
         feat1 = _seq(self.down1, feat0)
         feat2 = _seq(self.down2, jnp.concatenate([feat1, skips[1]], axis=-1))
         feat3 = _seq(self.down3, jnp.concatenate([feat2, skips[0]], axis=-1))
         feat2_ = _seq(self.up1, feat3)
         feat1_ = _seq(self.up2, jnp.concatenate([feat2_, feat2], axis=-1))
         feat0_ = _seq(self.up3, jnp.concatenate([feat1_, feat1], axis=-1))
-        res = _seq(self.refine_head, jnp.concatenate([feat0_, feat0], axis=-1))
+        cat_h = jnp.concatenate([feat0_, feat0], axis=-1)
+        if use:
+            xh = cp.nhwc_to_hcw(cat_h)
+            xh = self.refine_head[0](xh, hcw=(cat_h.shape[-1], H),
+                                     interpret=interp)
+            xh = self.refine_head[1](
+                xh, hcw=(self.refine_head[0].features, H), interpret=interp
+            )
+            res = cp.hcw_to_nhwc(xh, B, self.refine_head[1].features)
+        else:
+            res = _seq(self.refine_head, cat_h)
         return 2 * jax.nn.sigmoid(res) - 1
 
     # ------------------------------------------------------------------
@@ -318,9 +359,9 @@ class Network(nn.Module):
                 gf0, gf1, gocc1 = self.estimate_global_motion(x, feat_scale_level)
                 im0_d16 = ops.downsample_2x(im0_list[-1])
                 im1_d16 = ops.downsample_2x(im1_list[-1])
-                I_t_0 = self._warp(im0_d16, gf0)
-                I_t_1 = self._warp(im1_d16, gf1)
-                I_t = gocc1 * I_t_0 + (1 - gocc1) * I_t_1
+                I_t, I_t_0, I_t_1 = self._warp_blend(
+                    im0_d16, im1_d16, gf0, gf1, gocc1
+                )
                 im0_warped_list.insert(0, I_t_0)
                 im1_warped_list.insert(0, I_t_1)
                 im_t_list.insert(0, I_t)
@@ -332,20 +373,29 @@ class Network(nn.Module):
                 [self._warp(feat[:B], gf0), self._warp(feat[B:], gf1)], axis=0
             )
             for i in reversed(range(c.pyramid_level)):
+                if i == 0 and c.compose_full_res_warps:
+                    # fast mode: leave the full-res images unwarped and
+                    # fold the (smooth, 16x-upsampled) global flow into
+                    # the decoder's final flows — one resampling instead
+                    # of two (exact composition would read the global
+                    # flow at the locally-displaced position)
+                    gf0_full, gf1_full = gf0, gf1
+                    continue
                 im0_list[i] = self._warp(im0_list[i], gf0)
                 im1_list[i] = self._warp(im1_list[i], gf1)
                 if i != 0:
                     gf0 = ops.upsample_flow(gf0, 2)
                     gf1 = ops.upsample_flow(gf1, 2)
+        compose_full = global_motion and c.compose_full_res_warps
 
         flow0, flow1, occ1, feat, out = self.estimate_local_motion(feat)
 
         feat = self.shared_feat_enhancement(feat)
         feat = jnp.concatenate([feat[:B], feat[B:]], axis=-1)  # [B,h,w,2C]
 
-        I_t_0 = self._warp(im0_list[-1], flow0)
-        I_t_1 = self._warp(im1_list[-1], flow1)
-        I_t = occ1 * I_t_0 + (1 - occ1) * I_t_1
+        I_t, I_t_0, I_t_1 = self._warp_blend(
+            im0_list[-1], im1_list[-1], flow0, flow1, occ1
+        )
         im0_warped_list.insert(0, I_t_0)
         im1_warped_list.insert(0, I_t_1)
         im_t_list.insert(0, I_t)
@@ -365,7 +415,11 @@ class Network(nn.Module):
         for stage, scale in zip(
             (self.upsample0, self.upsample1, self.upsample2), (2, 1, 0)
         ):
-            feat = _seq(stage, feat)
+            # each stage ends with [ConvPReLU, PlainConv] at the stage's
+            # output resolution; route that pair through the Pallas HCW
+            # conv run when enabled (one transpose in, one out)
+            feat = _seq(stage[:-2], feat)
+            feat = self._conv_pair_hcw(stage[-2], stage[-1], feat)
             out = feat[..., -mo:]
             out_f = out.astype(jnp.float32)
             flow0 = out_f[..., 0:2]
@@ -373,9 +427,12 @@ class Network(nn.Module):
             occ1 = jax.nn.sigmoid(out_f[..., 4:5])
             if scale != 0:
                 skips.append(feat[..., :-mo])
-            I_t_0 = self._warp(im0_list[scale], flow0)
-            I_t_1 = self._warp(im1_list[scale], flow1)
-            I_t = occ1 * I_t_0 + (1 - occ1) * I_t_1
+            if scale == 0 and compose_full:
+                flow0 = flow0 + gf0_full
+                flow1 = flow1 + gf1_full
+            I_t, I_t_0, I_t_1 = self._warp_blend(
+                im0_list[scale], im1_list[scale], flow0, flow1, occ1
+            )
             im0_warped_list.insert(0, I_t_0)
             im1_warped_list.insert(0, I_t_1)
             im_t_list.insert(0, I_t)

@@ -7,6 +7,7 @@ from atmvfi_tpu.ops.resize import (
     upsample_flow,
 )
 from atmvfi_tpu.ops.warp import coords_grid, flow_warp, grid_sample_bilinear
+from atmvfi_tpu.ops.warp_pallas import flow_warp_blend, flow_warp_dispatch
 from atmvfi_tpu.ops.window import (
     attn_mask_for,
     center_depad,
@@ -24,6 +25,8 @@ __all__ = [
     "coords_grid",
     "downsample_2x",
     "flow_warp",
+    "flow_warp_blend",
+    "flow_warp_dispatch",
     "grid_sample_bilinear",
     "pad_amounts",
     "relative_coords",

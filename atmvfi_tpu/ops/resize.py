@@ -33,15 +33,25 @@ def _axis_coeffs(in_size: int, out_size: int):
 
 
 def _resize_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
-    """Resize one axis: interpolation expressed as a banded matmul.
+    """Resize one axis (float inputs only — interpolation is a lerp).
 
-    TPU rationale: `jnp.take` lowers to serial gather loops on TPU
-    (~100 ms of the 4K frame went to pyramid/flow resizes), while the
-    equivalent sparse interpolation matrix — built on the fly from the
-    tiny static index/weight vectors, so no giant literals are baked
-    into the executable — runs on the MXU in a couple of ms. Weight
-    rows sum to exactly 1 (single-tap rows get (1-w) + w at the same
-    slot), and accumulation is f32 even for bf16 inputs.
+    Two formulations, picked by backend:
+
+      * TPU: interpolation expressed as a banded-matrix matmul.
+        `jnp.take` lowers to serial gather loops there (~100 ms of the
+        4K frame went to pyramid/flow resizes), while the equivalent
+        sparse matrix — built on the fly from the tiny static
+        index/weight vectors, so no giant literals are baked into the
+        executable — runs on the MXU in a couple of ms. Weight rows sum
+        to exactly 1 (single-tap rows get (1-w) + w at the same slot),
+        and accumulation is f32 even for bf16 inputs.
+      * CPU/GPU: the O(out) two-tap `jnp.take` lerp. The dense matmul
+        would be O(out*in) per axis (a 1920->3840 flow upsample is
+        ~100 GFLOP on CPU), which made golden generation and the CPU
+        test suite pointlessly slow.
+
+    Both paths implement the same align-corners formula with f32
+    accumulation (agreement to float rounding; goldens run per-backend).
     """
     if not jnp.issubdtype(x.dtype, jnp.floating):
         raise TypeError(f"resize_bilinear needs float input, got {x.dtype}")
@@ -49,6 +59,15 @@ def _resize_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
     if out_size == in_size:
         return x
     i0, i1, w1 = _axis_coeffs(in_size, out_size)
+    axis = axis % x.ndim
+    if jax.default_backend() != "tpu":
+        a = jnp.take(x, jnp.asarray(i0), axis=axis)
+        b = jnp.take(x, jnp.asarray(i1), axis=axis)
+        wshape = [1] * x.ndim
+        wshape[axis] = out_size
+        w = jnp.asarray(w1, jnp.float32).reshape(wshape)
+        y = a.astype(jnp.float32) * (1.0 - w) + b.astype(jnp.float32) * w
+        return y.astype(x.dtype)
     iota = jnp.arange(in_size, dtype=jnp.int32)[None, :]          # [1, in]
     i0c = jnp.asarray(i0)[:, None]                                 # [out, 1]
     i1c = jnp.asarray(i1)[:, None]
@@ -56,7 +75,6 @@ def _resize_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
     m = (iota == i0c).astype(jnp.float32) * (1.0 - w) + (
         iota == i1c
     ).astype(jnp.float32) * w                                      # [out, in]
-    axis = axis % x.ndim
     y = jax.lax.dot_general(
         m.astype(x.dtype), x,
         dimension_numbers=(((1,), (axis,)), ((), ())),

@@ -166,6 +166,147 @@ def _kernel(ymin_ref, xmin_ref, img_ref, flow_ref, out_ref, slab_ref, sem,
                 out_ref[ch] += acc.astype(out_ref.dtype)
 
 
+def _kernel_blend(ymin0_ref, xmin0_ref, ymin1_ref, xmin1_ref,
+                  img0_ref, img1_ref, flow_ref, out_ref, slab_ref, acc_ref,
+                  sem, *, H, W, C, S, n_tw):
+    """Fused dual-warp + occlusion blend.
+
+    Computes out = occ * warp(img0, flow0) + (1-occ) * warp(img1, flow1)
+    for one 8x128 output tile: one slab DMA per source image (double
+    buffered), both warps' gather-accumulations run into a VMEM scratch
+    (raw sums, so the blend multiplies the SUM exactly like the unfused
+    XLA blend), then a single blended output stream is written. Saves
+    one output stream + the separate blend pass + the layout copies
+    around them versus two flow_warp calls (VERDICT round-1 item 1).
+
+    flow_ref packs [fx0, fy0, fx1, fy1, occ] as 5 channels.
+    """
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    th = t // n_tw
+    tw = t % n_tw
+
+    def slab_dma(img, slot, ymin_ref, xmin_ref, tile):
+        img_ref_ = img0_ref if img == 0 else img1_ref
+        return pltpu.make_async_copy(
+            img_ref_.at[
+                :,
+                pl.ds(pl.multiple_of(ymin_ref[tile], TILE_H), S),
+                pl.ds(pl.multiple_of(xmin_ref[tile], TILE_W), 3 * TILE_W),
+            ],
+            slab_ref.at[slot, img],
+            sem.at[slot, img],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        slab_dma(0, 0, ymin0_ref, xmin0_ref, 0).start()
+        slab_dma(1, 0, ymin1_ref, xmin1_ref, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        slab_dma(0, (t + 1) % 2, ymin0_ref, xmin0_ref, t + 1).start()
+        slab_dma(1, (t + 1) % 2, ymin1_ref, xmin1_ref, t + 1).start()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    gr = th * TILE_H + rows                     # global output row (B*H space)
+    b = gr // H
+    y_img = gr - b * H
+    x = cols + tw * TILE_W
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    slot = t % 2
+
+    def accumulate(img, fx, fy, ymin_t, xmin_t):
+        """Gather-accumulate one warp's raw 4-tap sums into acc_ref[img]."""
+        sx = x.astype(jnp.float32) + fx
+        sy = y_img.astype(jnp.float32) + fy
+        x0f = jnp.floor(sx)
+        y0f = jnp.floor(sy)
+        wx = sx - x0f
+        wy = sy - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+
+        def valid(xi, yi):
+            return (
+                (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+            ).astype(jnp.float32)
+
+        w00 = (1 - wx) * (1 - wy) * valid(x0, y0)
+        w01 = wx * (1 - wy) * valid(x0 + 1, y0)
+        w10 = (1 - wx) * wy * valid(x0, y0 + 1)
+        w11 = wx * wy * valid(x0 + 1, y0 + 1)
+
+        # slab-relative coords; each tap clipped INDEPENDENTLY (see _kernel)
+        base = b * H - ymin_t
+        r_top = jnp.clip(jnp.clip(y0, 0, H - 1) + base, 0, S - 1)
+        r_bot = jnp.clip(jnp.clip(y0 + 1, 0, H - 1) + base, 0, S - 1)
+        c0 = jnp.clip(jnp.clip(x0, 0, W - 1) - xmin_t, 0, 3 * TILE_W - 1)
+        c1 = jnp.clip(jnp.clip(x0 + 1, 0, W - 1) - xmin_t, 0, 3 * TILE_W - 1)
+
+        def page_coords(c):
+            page1 = (c >= TILE_W) & (c < 2 * TILE_W)
+            page2 = c >= 2 * TILE_W
+            cp = jnp.where(page1, c - TILE_W,
+                           jnp.where(page2, c - 2 * TILE_W, c))
+            return page1, page2, jnp.clip(cp, 0, TILE_W - 1)
+
+        p1_0, p2_0, cp0 = page_coords(c0)
+        p1_1, p2_1, cp1 = page_coords(c1)
+
+        r_lo = jnp.min(r_top)
+        r_hi = jnp.max(r_bot)
+        for ch in range(C):
+            acc_ref[img, ch] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        for q in range(S // TILE_H):
+            @pl.when((q * TILE_H <= r_hi) & (r_lo < (q + 1) * TILE_H))
+            def _(q=q):
+                for ch in range(C):
+                    acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                    blk = slab_ref[slot, img, ch,
+                                   q * TILE_H : (q + 1) * TILE_H, :]
+                    blk_a = blk[:, :TILE_W]
+                    blk_b = blk[:, TILE_W : 2 * TILE_W]
+                    blk_c = blk[:, 2 * TILE_W :]
+                    for d in range(TILE_H):
+                        shift = (TILE_H - d) % TILE_H
+                        rows_a = pltpu.roll(blk_a, shift, 0) if d else blk_a
+                        rows_b = pltpu.roll(blk_b, shift, 0) if d else blk_b
+                        rows_c = pltpu.roll(blk_c, shift, 0) if d else blk_c
+                        srow = q * TILE_H + (iota_i + d) % TILE_H
+
+                        def gather3(p1, p2, cp):
+                            g = jnp.take_along_axis(rows_a, cp, axis=1)
+                            g = jnp.where(
+                                p1, jnp.take_along_axis(rows_b, cp, axis=1), g
+                            )
+                            return jnp.where(
+                                p2, jnp.take_along_axis(rows_c, cp, axis=1), g
+                            )
+
+                        g0 = gather3(p1_0, p2_0, cp0)
+                        g1 = gather3(p1_1, p2_1, cp1)
+                        top = (r_top == srow).astype(jnp.float32)
+                        bot = (r_bot == srow).astype(jnp.float32)
+                        acc = acc + top * (w00 * g0 + w01 * g1)
+                        acc = acc + bot * (w10 * g0 + w11 * g1)
+                    acc_ref[img, ch] += acc
+
+    slab_dma(0, slot, ymin0_ref, xmin0_ref, t).wait()
+    accumulate(0, flow_ref[:, :, 0], flow_ref[:, :, 1],
+               ymin0_ref[t], xmin0_ref[t])
+    slab_dma(1, slot, ymin1_ref, xmin1_ref, t).wait()
+    accumulate(1, flow_ref[:, :, 2], flow_ref[:, :, 3],
+               ymin1_ref[t], xmin1_ref[t])
+
+    occ = flow_ref[:, :, 4]
+    for ch in range(C):
+        out_ref[ch] = (
+            occ * acc_ref[0, ch] + (1 - occ) * acc_ref[1, ch]
+        ).astype(out_ref.dtype)
+
+
 def _kernel_nhwc(ymin_ref, lmin_ref, img_ref, fx_ref, fy_ref, out_ref,
                  slab_ref, sem, *, H, W, C, S, P, n_tl):
     """NHWC-native tile-slab warp.
@@ -419,6 +560,10 @@ def resolve_warp_impl(impl: str, channels: int) -> Tuple[str, bool]:
     """
     if impl in ("tiled", "tiled_chw"):
         return "chw", jax.default_backend() != "tpu"
+    if impl == "tiled_unchecked":
+        # serving mode: skip the per-call exactness cond (see
+        # flow_warp_tiled unchecked=True) — cfg.fast() plumbs this
+        return "chw_unchecked", jax.default_backend() != "tpu"
     if impl == "tiled_nhwc":
         return "nhwc", jax.default_backend() != "tpu"
     if impl == "xla":
@@ -432,7 +577,8 @@ def resolve_warp_impl(impl: str, channels: int) -> Tuple[str, bool]:
 def _tiled_warp(feature, flow, kernel: str, interpret: bool):
     if kernel == "nhwc":
         return flow_warp_tiled_nhwc(feature, flow, interpret=interpret)
-    return flow_warp_tiled(feature, flow, interpret=interpret)
+    return flow_warp_tiled(feature, flow, interpret=interpret,
+                           unchecked=kernel == "chw_unchecked")
 
 
 def _tiled_warp_fwd(feature, flow, kernel, interpret):
@@ -501,6 +647,36 @@ def _pallas_path(img_chw, flow, ymin_blk, xmin_blk, *, H, W, C, S, B, dtype,
     return out
 
 
+def _slab_extents(flow: jnp.ndarray, B: int, H: int, W: int, S: int):
+    """Per-tile slab origins + in-budget flag for the CHW tile-slab kernel.
+
+    flow: [B, H, W, 2] (x, y). Returns (ymin_blk, xmin_blk, ok) where the
+    origins are (8, 128)-aligned [n_th, n_tw] int32 grids in (B*H row,
+    col) space and `ok` is True iff every tile's 4-tap source extent
+    fits an (S x 384) slab anchored there.
+    """
+    BH = B * H
+    n_th, n_tw = BH // TILE_H, W // TILE_W
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    base = jnp.asarray(np.stack([xs, ys], -1)[None], jnp.float32)
+    t0 = jnp.floor(base + flow.astype(jnp.float32)).astype(jnp.int32)
+    hi = jnp.asarray([W - 1, H - 1], jnp.int32)
+    tmin = jnp.clip(t0, 0, hi)  # [B, H, W, 2] clipped top taps
+    tmax = jnp.clip(t0 + 1, 0, hi)  # independently-clipped bottom taps
+    boff = (jnp.arange(B, dtype=jnp.int32) * H)[:, None, None]
+    tmin = tmin.at[..., 1].add(boff)
+    tmax = tmax.at[..., 1].add(boff)
+    mins = tmin.reshape(n_th, TILE_H, n_tw, TILE_W, 2).min(axis=(1, 3))
+    maxs = tmax.reshape(n_th, TILE_H, n_tw, TILE_W, 2).max(axis=(1, 3))
+    # DMA origins must be (8, 128)-aligned; 3 column pages keep >= 255
+    # columns of budget after alignment waste
+    ymin_blk = (jnp.clip(mins[..., 1], 0, BH - S) // TILE_H) * TILE_H
+    xmin_blk = (jnp.clip(mins[..., 0], 0, W - 3 * TILE_W) // TILE_W) * TILE_W
+    ok_y = jnp.all(maxs[..., 1] - ymin_blk <= S - 1)
+    ok_x = jnp.all(maxs[..., 0] - xmin_blk <= 3 * TILE_W - 1)
+    return ymin_blk, xmin_blk, ok_y & ok_x
+
+
 def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
                     slab_rows: int = 64, interpret: bool = False,
                     unchecked: bool = False) -> jnp.ndarray:
@@ -521,24 +697,7 @@ def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
     # per-tile source extents + slab origins, computed channel-paired
     # in NHWC to minimize layout churn; cond operands stay small (the
     # f32 CHW transpose of the image happens inside the fast branch)
-    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    base = jnp.asarray(np.stack([xs, ys], -1)[None], jnp.float32)
-    t0 = jnp.floor(base + flow.astype(jnp.float32)).astype(jnp.int32)
-    hi = jnp.asarray([W - 1, H - 1], jnp.int32)
-    tmin = jnp.clip(t0, 0, hi)  # [B, H, W, 2] clipped top taps
-    tmax = jnp.clip(t0 + 1, 0, hi)  # independently-clipped bottom taps
-    boff = (jnp.arange(B, dtype=jnp.int32) * H)[:, None, None]
-    tmin = tmin.at[..., 1].add(boff)
-    tmax = tmax.at[..., 1].add(boff)
-    mins = tmin.reshape(n_th, TILE_H, n_tw, TILE_W, 2).min(axis=(1, 3))
-    maxs = tmax.reshape(n_th, TILE_H, n_tw, TILE_W, 2).max(axis=(1, 3))
-    # DMA origins must be (8, 128)-aligned; 3 column pages keep >= 255
-    # columns of budget after alignment waste
-    ymin_blk = (jnp.clip(mins[..., 1], 0, BH - S) // TILE_H) * TILE_H
-    xmin_blk = (jnp.clip(mins[..., 0], 0, W - 3 * TILE_W) // TILE_W) * TILE_W
-    ok_y = jnp.all(maxs[..., 1] - ymin_blk <= S - 1)
-    ok_x = jnp.all(maxs[..., 0] - xmin_blk <= 3 * TILE_W - 1)
-    ok = ok_y & ok_x
+    ymin_blk, xmin_blk, ok = _slab_extents(flow, B, H, W, S)
 
     dtype = feature.dtype
     # CHW transposes hoisted OUTSIDE the cond: conditional operands and
@@ -574,3 +733,172 @@ def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
             ok, fast, slow, (img_chw, flow_f, ymin_blk, xmin_blk)
         )
     return out.transpose(1, 2, 0).reshape(B, H, W, C).astype(dtype)
+
+
+# ----------------------------------------------------------------------
+# fused dual-warp + occlusion blend
+# ----------------------------------------------------------------------
+
+def _pallas_blend_path(img0_chw, img1_chw, flow_cat, ymin0, xmin0, ymin1,
+                       xmin1, *, H, W, C, S, B, interpret=False):
+    BH = B * H
+    n_th, n_tw = BH // TILE_H, W // TILE_W
+    kernel = functools.partial(
+        _kernel_blend, H=H, W=W, C=C, S=S, n_tw=n_tw
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # ymin0, xmin0, ymin1, xmin1
+        grid=(n_th * n_tw,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # img0 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # img1 stays in HBM
+            pl.BlockSpec(  # packed [fx0, fy0, fx1, fy1, occ] tile
+                (TILE_H, TILE_W, 5),
+                lambda t, *_: (t // n_tw, t % n_tw, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, TILE_H, TILE_W),
+            lambda t, *_: (0, t // n_tw, t % n_tw),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            # [slot, img, C, S, 3*128] double-buffered slab per source
+            pltpu.VMEM((2, 2, C, S, 3 * TILE_W), jnp.float32),
+            # raw per-image 4-tap sums; blend multiplies the SUM so the
+            # result is bit-compatible with occ*warp0 + (1-occ)*warp1
+            pltpu.VMEM((2, C, TILE_H, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, BH, W), jnp.float32),
+        interpret=interpret,
+    )(ymin0, xmin0, ymin1, xmin1, img0_chw, img1_chw, flow_cat)
+
+
+def flow_warp_blend_tiled(im0: jnp.ndarray, im1: jnp.ndarray,
+                          flow0: jnp.ndarray, flow1: jnp.ndarray,
+                          occ: jnp.ndarray, slab_rows: int = 64,
+                          interpret: bool = False,
+                          unchecked: bool = False) -> jnp.ndarray:
+    """occ*warp(im0,flow0) + (1-occ)*warp(im1,flow1), one fused kernel.
+
+    The model blends two backward-warped frames at every decoder scale
+    (reference network_base.py:496-498,511-528); fusing removes one
+    full-resolution output stream, the separate blend pass, and the
+    layout copies between them. Same applicability rules and exactness
+    cond as flow_warp_tiled; the fallback composes the XLA warps.
+    """
+    B, H, W, C = im0.shape
+    S = slab_rows
+
+    def compose(a0, a1, f0, f1, oc):
+        w0 = warp_xla.flow_warp(a0, f0)
+        w1 = warp_xla.flow_warp(a1, f1)
+        return oc * w0 + (1 - oc) * w1
+
+    if H % TILE_H or W % TILE_W or W < 3 * TILE_W or H < S:
+        return compose(im0, im1, flow0, flow1, occ)
+
+    BH = B * H
+    ymin0, xmin0, ok0 = _slab_extents(flow0, B, H, W, S)
+    ymin1, xmin1, ok1 = _slab_extents(flow1, B, H, W, S)
+    ok = ok0 & ok1
+
+    dtype = im0.dtype
+    img0_chw = im0.astype(jnp.float32).reshape(BH, W, C).transpose(2, 0, 1)
+    img1_chw = im1.astype(jnp.float32).reshape(BH, W, C).transpose(2, 0, 1)
+    flow_cat = jnp.concatenate(
+        [flow0.astype(jnp.float32), flow1.astype(jnp.float32),
+         occ.astype(jnp.float32)], axis=-1,
+    ).reshape(BH, W, 5)
+
+    def fast(args):
+        img0_chw, img1_chw, flow_cat, ymin0, xmin0, ymin1, xmin1 = args
+        return _pallas_blend_path(
+            img0_chw, img1_chw, flow_cat,
+            ymin0.reshape(-1), xmin0.reshape(-1),
+            ymin1.reshape(-1), xmin1.reshape(-1),
+            H=H, W=W, C=C, S=S, B=B, interpret=interpret,
+        )
+
+    def slow(args):
+        img0_chw, img1_chw, flow_cat, *_ = args
+        a0 = img0_chw.transpose(1, 2, 0).reshape(B, H, W, C)
+        a1 = img1_chw.transpose(1, 2, 0).reshape(B, H, W, C)
+        f = flow_cat.reshape(B, H, W, 5)
+        out = compose(a0, a1, f[..., 0:2], f[..., 2:4], f[..., 4:5])
+        return out.reshape(BH, W, C).transpose(2, 0, 1)
+
+    args = (img0_chw, img1_chw, flow_cat, ymin0, xmin0, ymin1, xmin1)
+    if unchecked:
+        out = fast(args)
+    else:
+        out = jax.lax.cond(ok, fast, slow, args)
+    return out.transpose(1, 2, 0).reshape(B, H, W, C).astype(dtype)
+
+
+def _blend_compose_xla(im0, im1, flow0, flow1, occ):
+    w0 = warp_xla.flow_warp(im0, flow0)
+    w1 = warp_xla.flow_warp(im1, flow1)
+    return occ * w0 + (1 - occ) * w1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _tiled_blend(im0, im1, flow0, flow1, occ, interpret: bool,
+                 unchecked: bool = False):
+    return flow_warp_blend_tiled(im0, im1, flow0, flow1, occ,
+                                 interpret=interpret, unchecked=unchecked)
+
+
+def _tiled_blend_fwd(im0, im1, flow0, flow1, occ, interpret, unchecked):
+    out = _tiled_blend(im0, im1, flow0, flow1, occ, interpret, unchecked)
+    return out, (im0, im1, flow0, flow1, occ)
+
+
+def _tiled_blend_bwd(interpret, unchecked, res, g):
+    # kernel forward is bit-exact with the composed XLA path, so the
+    # composed VJP is the true gradient
+    _, vjp = jax.vjp(_blend_compose_xla, *res)
+    return vjp(g)
+
+
+_tiled_blend.defvjp(_tiled_blend_fwd, _tiled_blend_bwd)
+
+
+def flow_warp_blend(im0: jnp.ndarray, im1: jnp.ndarray,
+                    flow0: jnp.ndarray, flow1: jnp.ndarray,
+                    occ: jnp.ndarray, impl: str = "auto"):
+    """(I_t, I_t_0, I_t_1) for one decoder blend site.
+
+    I_t comes from the fused dual-warp+blend kernel (when the tile-slab
+    kernel applies for this shape/impl); I_t_0/I_t_1 are produced by
+    independent single-warp dispatches so XLA dead-code-eliminates them
+    whenever the caller only consumes I_t (the serving path jits
+    `...["I_t"]`). On the XLA/unsupported path the blend reuses the two
+    warps directly — no double work.
+    """
+    # NOTE round-2 A/B (scripts/tpu_blend_ab.py): the fused dual-slab
+    # kernel measured ~4-5% SLOWER at model level than two pipelined
+    # single-warp kernels + XLA blend (lite 1080p 147.6 vs 140.8 ms,
+    # lite 4K 647.4 vs 621.8 ms) — the separate kernels overlap their
+    # slab DMAs across tiles better than one kernel draining two slabs
+    # per tile. The fused kernel stays available (exact, tested) via
+    # impl="tiled_blend"; every other impl uses the separate path.
+    fused = impl in ("tiled_blend", "tiled_blend_unchecked")
+    base_impl = "tiled" if fused else impl
+    kernel, interpret = resolve_warp_impl(base_impl, im0.shape[-1])
+    B, H, W, C = im0.shape
+    shape_ok = not (H % TILE_H or W % TILE_W or W < 3 * TILE_W or H < 64)
+    w0 = flow_warp_dispatch(im0, flow0, base_impl)
+    w1 = flow_warp_dispatch(im1, flow1, base_impl)
+    if fused and kernel == "chw" and shape_ok:
+        I_t = _tiled_blend(im0, im1, flow0, flow1, occ, interpret,
+                           impl == "tiled_blend_unchecked")
+    else:
+        I_t = occ * w0 + (1 - occ) * w1
+    return I_t, w0, w1

@@ -20,6 +20,19 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _frame_pairs(rng, iters, h, w):
+    """[iters, 2, 1, h, w, 3] distinct frame pairs: frame 1 is frame 0
+    shifted by ~8 px plus fresh noise, so predicted flows are nonzero
+    and the tile-slab warp kernel does representative (not best-case
+    zero-motion) work — identical-frame input was flagged by review."""
+    import jax.numpy as jnp
+
+    x0 = rng.random((iters, 1, h, w, 3), np.float32)
+    x1 = np.roll(x0, shift=(8, -8), axis=(2, 3))
+    x1 = 0.7 * x1 + 0.3 * rng.random((iters, 1, h, w, 3), np.float32)
+    return jnp.stack([jnp.asarray(x0), jnp.asarray(x1)], axis=1)
+
+
 def build(variant):
     import jax
     import jax.numpy as jnp
@@ -57,23 +70,19 @@ def bench_vimeo_res(variant, iters=20):
     fwd = jax.jit(
         lambda v, a, b: net.apply(v, a, b, global_motion=False)["I_t"]
     )
-    xs = [
-        jnp.asarray(rng.random((1, 256, 448, 3), np.float32))
-        for _ in range(iters)
-    ]
+    stacked = _frame_pairs(rng, iters, 256, 448)
     # at this size the ~30 ms relay fence dominates a per-call loop, so
     # run the iters as ONE lax.scan (body compiled once, iterations
     # serialized by the carried token) and fence a single scalar
     def chained(variables, stacked):
-        def body(tok, x):
-            xi = x + tok  # data dependency: forces sequential execution
-            y = net.apply(variables, xi, xi, global_motion=False)["I_t"]
+        def body(tok, pair):
+            x0 = pair[0] + tok  # data dependency: forces sequential execution
+            y = net.apply(variables, x0, pair[1], global_motion=False)["I_t"]
             return y[:, :1, :1, :1] * 0.0, y.mean()
         _, means = jax.lax.scan(body, jnp.zeros((1, 1, 1, 1)), stacked)
         return means.sum()
 
     cf = jax.jit(chained)
-    stacked = jnp.stack(xs)
     float(cf(variables, stacked))
     t0 = time.time()
     float(cf(variables, stacked))
@@ -98,12 +107,12 @@ def bench_resolution(variables, net, h, w, iters):
     rng = np.random.default_rng(0)
     padder = InputPadder((1, h, w, 3), divisor=64)
     ph, pw = padder.padded_shape
-    stacked = jnp.asarray(rng.random((iters, 1, ph, pw, 3), np.float32))
+    stacked = _frame_pairs(rng, iters, ph, pw)
 
     def chained(variables, stacked):
-        def body(tok, x):
-            xi = x + tok  # data dependency: forces sequential execution
-            y = net.apply(variables, xi, xi, global_motion=True)["I_t"]
+        def body(tok, pair):
+            x0 = pair[0] + tok  # data dependency: forces sequential execution
+            y = net.apply(variables, x0, pair[1], global_motion=True)["I_t"]
             return y[:, :1, :1, :1] * 0.0, y.mean()
 
         _, means = jax.lax.scan(body, jnp.zeros((1, 1, 1, 1)), stacked)
@@ -136,6 +145,15 @@ def main():
     lite_4k = bench_resolution(lvars, lnet, 2160, 3840, 4)
     log(f"lite 1080p {lite_1080:.2f} fps | lite 4K {lite_4k:.2f} fps")
 
+    # fast serving profile (unchecked slab warps + composed full-res
+    # warps; same params — deviation documented in PERF_NOTES.md)
+    from atmvfi_tpu.models import Network as _Net, get_config as _gc
+    import jax.numpy as _jnp
+
+    fnet = _Net(_gc("lite", dtype=_jnp.bfloat16).fast())
+    lite_fast_4k = bench_resolution(lvars, fnet, 2160, 3840, 4)
+    log(f"lite FAST 4K {lite_fast_4k:.2f} fps")
+
     vimeo_fps = bench_vimeo_res("base")
     log(f"base 448x256 (Vimeo protocol res): {vimeo_fps:.1f} fps "
         f"(reference demo claim: 24 fps 2x on GPU)")
@@ -149,6 +167,7 @@ def main():
             "base_fps_1080p": round(fps_1080, 3),
             "lite_fps_1080p": round(lite_1080, 3),
             "lite_fps_4k": round(lite_4k, 3),
+            "lite_fast_fps_4k": round(lite_fast_4k, 3),
             "base_fps_448x256_vimeo_res": round(vimeo_fps, 3),
         },
     }

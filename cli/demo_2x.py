@@ -4,7 +4,9 @@ Modes:
   2-frame:   --frame0 a.png --frame1 b.png -> writes the middle frame
   frame dir: --frames_dir dir/ (sorted images) -> writes Nx-interpolated
              frame sequence (and an mp4 if imageio-ffmpeg is available)
-  video:     --video in.mp4 (requires imageio-ffmpeg; gated)
+  video:     --video in.y4m (native, no deps) or in.mp4 (requires
+             imageio-ffmpeg; gated) -> factor*fps output video
+             (reference demo_2x.py:129-168's flagship mode)
 
 Example:
   python cli/demo_2x.py --model_type lite --global_off \
@@ -37,6 +39,10 @@ def main():
                         "(throughput serving; same outputs as batch=1 "
                         "up to float reduction-order ulps)")
     p.add_argument("--fp32", action="store_true", help="f32 compute (parity)")
+    p.add_argument("--fast", action="store_true",
+                   help="serving profile: unchecked slab warps + composed "
+                        "full-res warps (small documented deviation; "
+                        "pair with --model_type lite for max fps)")
     p.add_argument("--combine_video", action="store_true",
                    help="also write an input-vs-output comparison strip")
     args = p.parse_args()
@@ -54,6 +60,7 @@ def main():
             args.ckpt, variant=args.model_type, dtype=dtype,
             global_motion=not args.global_off,
             ensemble_global_motion=args.ensemble_global,
+            fast=args.fast,
         )
     else:
         print("WARNING: no --ckpt given; using random weights (smoke mode)")
@@ -67,6 +74,7 @@ def main():
             variables, variant=args.model_type, dtype=dtype,
             global_motion=not args.global_off,
             ensemble_global_motion=args.ensemble_global,
+            fast=args.fast,
         )
 
     n_params = sum(
@@ -111,6 +119,38 @@ def main():
         return
 
     if args.video:
+        if args.video.lower().endswith(".y4m"):
+            from atmvfi_tpu.utils.video import Y4MReader, Y4MWriter
+
+            reader = Y4MReader(args.video)
+            fps_n, fps_d = reader.fps
+            out_path = (
+                args.out if args.out.endswith(".y4m") else args.out + ".y4m"
+            )
+            writer = Y4MWriter(
+                out_path, reader.width, reader.height,
+                fps=(fps_n * args.factor, fps_d),
+                colorspace="C444" if reader.colorspace.startswith("C444")
+                else "C420",
+            )
+            src = iter(reader)
+            if args.combine_video:
+                print("--combine_video applies to --frames_dir mode only")
+            if args.batch > 1:
+                stream = pipeline.interpolate_stream_batched(
+                    src, factor=args.factor, batch=args.batch
+                )
+            else:
+                stream = pipeline.interpolate_stream(src, factor=args.factor)
+            count = 0
+            for frame in stream:
+                writer.write(frame)
+                count += 1
+            writer.close()
+            reader.close()
+            print(f"wrote {out_path}: {count} frames at "
+                  f"{args.factor * reader.fps_float:g} fps")
+            return
         try:
             import imageio.v2 as iio
 
@@ -118,7 +158,8 @@ def main():
             meta = reader.get_meta_data()
             fps = meta.get("fps", 24)
         except Exception as e:
-            print(f"video decode unavailable ({e}); use --frames_dir instead")
+            print(f"video decode unavailable ({e}); use a .y4m input or "
+                  f"--frames_dir instead")
             sys.exit(1)
         out_path = args.out if args.out.endswith(".mp4") else args.out + ".mp4"
         writer = iio.get_writer(out_path, fps=fps * args.factor)

@@ -73,7 +73,13 @@ def test_interpolate_stream_batched_matches_unbatched(
     )
     assert len(got) == len(want) == factor * (n_frames - 1) + 1
     for g, w in zip(got, want):
-        np.testing.assert_array_equal(g, w)
+        if jax.default_backend() == "cpu":
+            # exact on CPU; the batch-1 and batch-N graphs may differ by
+            # reduction-order ulps on TPU/GPU -> off-by-one after the
+            # uint8 rounding is acceptable there
+            np.testing.assert_array_equal(g, w)
+        else:
+            assert np.max(np.abs(g.astype(np.int16) - w.astype(np.int16))) <= 1
 
 
 def test_interpolate_stream_4x(lite_pipeline):

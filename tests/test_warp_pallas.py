@@ -105,3 +105,91 @@ def test_dispatch_xla_matches_flow_warp():
     a = flow_warp_dispatch(feat, flow, impl="xla")
     b = warp_xla.flow_warp(feat, flow)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ----------------------------------------------------------------------
+# fused dual-warp + blend
+# ----------------------------------------------------------------------
+
+def _blend_ref(im0, im1, f0, f1, occ):
+    w0 = warp_xla.flow_warp(im0, f0)
+    w1 = warp_xla.flow_warp(im1, f1)
+    return occ * w0 + (1 - occ) * w1
+
+
+@pytest.mark.parametrize(
+    "name,B,H,W,C,mag",
+    [
+        ("smooth", 1, 64, 384, 3, 4.0),
+        ("edges", 1, 64, 384, 3, 30.0),   # pushes taps off-image
+        ("batch", 2, 64, 384, 3, 3.0),
+        ("spread", 1, 96, 384, 3, 80.0),  # exceeds slab -> cond fallback
+    ],
+)
+def test_blend_tiled_matches_composed(name, B, H, W, C, mag):
+    from atmvfi_tpu.ops.warp_pallas import flow_warp_blend_tiled
+
+    rng = np.random.default_rng(5)
+    im0 = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    im1 = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    f0 = _smooth_flow(B, H, W, mag, seed=hash(name) % 100)
+    f1 = _smooth_flow(B, H, W, mag, seed=(hash(name) + 1) % 100)
+    occ = jnp.asarray(rng.random((B, H, W, 1)), jnp.float32)
+    got = flow_warp_blend_tiled(im0, im1, f0, f1, occ, interpret=True)
+    want = _blend_ref(im0, im1, f0, f1, occ)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_blend_dispatch_returns_consistent_triple():
+    from atmvfi_tpu.ops.warp_pallas import flow_warp_blend
+
+    rng = np.random.default_rng(6)
+    im0 = jnp.asarray(rng.random((1, 64, 384, 3)), jnp.float32)
+    im1 = jnp.asarray(rng.random((1, 64, 384, 3)), jnp.float32)
+    f0 = _smooth_flow(1, 64, 384, 4.0, seed=3)
+    f1 = _smooth_flow(1, 64, 384, 4.0, seed=4)
+    occ = jnp.asarray(rng.random((1, 64, 384, 1)), jnp.float32)
+    I_t, w0, w1 = flow_warp_blend(im0, im1, f0, f1, occ, impl="tiled_blend")
+    np.testing.assert_allclose(
+        np.asarray(I_t), np.asarray(occ * w0 + (1 - occ) * w1), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(w0), np.asarray(warp_xla.flow_warp(im0, f0)), atol=1e-5
+    )
+
+
+def test_blend_small_shape_reuses_single_warps():
+    from atmvfi_tpu.ops.warp_pallas import flow_warp_blend
+
+    rng = np.random.default_rng(7)
+    im0 = jnp.asarray(rng.random((1, 16, 24, 3)), jnp.float32)
+    im1 = jnp.asarray(rng.random((1, 16, 24, 3)), jnp.float32)
+    f0 = jnp.asarray(rng.standard_normal((1, 16, 24, 2)), jnp.float32) * 2
+    f1 = jnp.asarray(rng.standard_normal((1, 16, 24, 2)), jnp.float32) * 2
+    occ = jnp.asarray(rng.random((1, 16, 24, 1)), jnp.float32)
+    I_t, w0, w1 = flow_warp_blend(im0, im1, f0, f1, occ, impl="tiled")
+    np.testing.assert_array_equal(
+        np.asarray(I_t), np.asarray(occ * w0 + (1 - occ) * w1)
+    )
+
+
+def test_blend_gradients_match_composed():
+    from atmvfi_tpu.ops.warp_pallas import flow_warp_blend
+
+    rng = np.random.default_rng(8)
+    im0 = jnp.asarray(rng.random((1, 64, 384, 3)), jnp.float32)
+    im1 = jnp.asarray(rng.random((1, 64, 384, 3)), jnp.float32)
+    f0 = _smooth_flow(1, 64, 384, 3.0, seed=11)
+    f1 = _smooth_flow(1, 64, 384, 3.0, seed=12)
+    occ = jnp.asarray(rng.random((1, 64, 384, 1)), jnp.float32)
+
+    def loss_fused(a, b, u, v, o):
+        return jnp.sum(flow_warp_blend(a, b, u, v, o, impl="tiled_blend")[0] ** 2)
+
+    def loss_ref(a, b, u, v, o):
+        return jnp.sum(_blend_ref(a, b, u, v, o) ** 2)
+
+    gs_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(im0, im1, f0, f1, occ)
+    gs_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(im0, im1, f0, f1, occ)
+    for gf, gr in zip(gs_f, gs_r):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-3)
