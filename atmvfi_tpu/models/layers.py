@@ -101,11 +101,8 @@ class ConvPReLU(nn.Module):
             assert (
                 self.kernel == 3 and self.stride == 1 and self.dilation == 1
             )
-            kt = cp.pack_conv3x3_weights_padded(k).astype(self.dtype)
-            return cp.conv3x3_hcw(
-                x.astype(self.dtype), kt,
-                cp.pad_channel_vec(b), cp.pad_channel_vec(alpha),
-                H=hcw[1], interpret=interpret,
+            return cp.conv3x3_hcw_op(
+                x.astype(self.dtype), k, b, alpha, hcw[1], True, interpret
             )
         x = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
@@ -141,10 +138,9 @@ class PlainConv(nn.Module):
                        (self.features,))
         if hcw is not None:
             assert self.kernel == 3
-            kt = cp.pack_conv3x3_weights_padded(k).astype(self.dtype)
-            return cp.conv3x3_hcw(
-                x.astype(self.dtype), kt, cp.pad_channel_vec(b), None,
-                H=hcw[1], interpret=interpret,
+            return cp.conv3x3_hcw_op(
+                x.astype(self.dtype), k, b, jnp.zeros_like(b), hcw[1],
+                False, interpret
             )
         pad = self.kernel // 2
         return jax.lax.conv_general_dilated(

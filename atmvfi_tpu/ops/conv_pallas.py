@@ -18,14 +18,19 @@ in one pass as an MXU matmul:
     (double buffered) with a 128-lane halo on each side; 'same' zero
     padding falls out of lane masks + per-(row,dy) scalar selects (also
     correct across batch-image boundaries in the packed B*H dim).
-  * for each output row an A-matrix [9*Cin, TW] is assembled from the
-    3x3 shifted slices; the 8 rows concatenate along lanes so ONE
-    dot_general [Cout, 9Cin] x [9Cin, 8*TW] per grid step does all the
-    FLOPs, with bias + PReLU fused on the f32 accumulator.
+  * the contraction runs as THREE matmuls per row chunk — one per
+    horizontal tap dx: [Cout, 3Cin] x [3Cin, CHUNK*(TW+256)] over a
+    dy-concatenated A-matrix of ALIGNED full rows. The +-1-lane x-shift
+    is applied on the OUTPUT side by adding lane-offset slices of the
+    f32 results. This shape is dictated by measured Mosaic limits
+    (scripts/pallas_probe3.py): concatenating lane-offset slices and
+    bf16 lane rolls do not compile, but offset-slice arithmetic does.
+  * bias + PReLU fuse on the f32 accumulator before the store.
 
-Weights are prepacked as [Cout, 9*Cin] with (dy*3+dx)-major row order
-(`pack_conv3x3_weights`). Requires Cin % 8 == 0, Cout % 8 == 0,
-W % 128 == 0 (wrappers fall back to XLA otherwise).
+Weights are prepacked as a per-dx triple [Cout, 3*Cin] with (dy, ci)
+row order (`pack_conv3x3_weights`). Requires W % 128 == 0 and channel
+counts padded to the dtype sublane tile (8 f32 / 16 bf16); wrappers
+fall back to XLA otherwise.
 """
 from __future__ import annotations
 
@@ -41,11 +46,20 @@ LANE = 128
 ROWS = 8  # output rows per grid step
 
 
-def pack_conv3x3_weights(k_hwio: jnp.ndarray) -> jnp.ndarray:
-    """[3, 3, Cin, Cout] HWIO -> [Cout, 9*Cin], (dy*3+dx)-major rows."""
+def pack_conv3x3_weights(k_hwio: jnp.ndarray):
+    """[3, 3, Cin, Cout] HWIO -> 3 per-dx matrices [Cout, 3*Cin] with
+    (dy, ci)-ordered rows. The kernel runs one matmul per dx over a
+    dy-concatenated A-matrix: lane-shifting activations inside the
+    kernel is not portable (Mosaic rejects offset concats and bf16 lane
+    rolls — scripts/pallas_probe3.py), but ADDING lane-offset slices of
+    the f32 matmul results is supported, so the x-shift moves to the
+    output side."""
     kh, kw, cin, cout = k_hwio.shape
     assert kh == 3 and kw == 3
-    return k_hwio.reshape(9 * cin, cout).T
+    # [dy, dx, ci, co] -> per dx: [dy*ci, co] -> [co, 3ci]
+    return tuple(
+        k_hwio[:, dx].reshape(3 * cin, cout).T for dx in range(3)
+    )
 
 
 def _pick_plan(W: int, cin: int, cout: int, dtype_bytes: int):
@@ -57,12 +71,13 @@ def _pick_plan(W: int, cin: int, cout: int, dtype_bytes: int):
     for tw in (1280, 1024, 896, 768, 640, 512, 384, 256, 128):
         if W % tw or (tw < 2 * LANE and W != tw):
             continue
+        ext = tw + 2 * LANE
         for chunk in (8, 4, 2, 1):
-            slab = 2 * 10 * cin * (tw + 2 * LANE) * dtype_bytes
-            amat = 9 * cin * chunk * tw * dtype_bytes
+            slab = 2 * 10 * cin * ext * dtype_bytes
+            amat = 3 * cin * chunk * ext * dtype_bytes
+            macc = 3 * cout * chunk * ext * 4
             out = 2 * ROWS * cout * tw * dtype_bytes
-            acc = cout * chunk * tw * 4
-            if slab + amat + out + acc < budget:
+            if slab + amat + macc + out < budget:
                 if best is None or tw > best[0]:
                     best = (tw, chunk)
                 break
@@ -73,7 +88,8 @@ def _pick_plan(W: int, cin: int, cout: int, dtype_bytes: int):
     return best
 
 
-def _kernel(x_ref, kt_ref, bias_ref, slope_ref, out_ref, slab_ref, sem,
+def _kernel(x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref,
+            out_ref, slab_ref, sem,
             *, BH, H, W, Cin, Cout, TW, CHUNK, n_wt, prelu, out_dtype):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -146,61 +162,74 @@ def _kernel(x_ref, kt_ref, bias_ref, slope_ref, out_ref, slab_ref, sem,
 
     w0 = wt * TW
     row_start = jnp.clip(rb * ROWS - 1, 0, BH - 10)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
-    def row_block(r):
-        """A-matrix columns for output row r: [9Cin, TW]."""
+    EXT = TW + 2 * LANE
+    # zero invalid lanes ONCE per row: x < 0 / x >= W (zero padding) and
+    # the stale un-DMA'd halo lanes of edge tiles
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, EXT), 1)
+    x_full = w0 - LANE + lane_iota
+    lane_ok = (x_full >= 0) & (x_full <= W - 1)
+
+    def row_for(r, dy):
         gy = rb * ROWS + r
         gy_img = gy % H
-        pieces = []
-        for dy in range(3):
-            idx = jnp.clip(gy + dy - 1 - row_start, 0, 9)
-            vrow = (gy_img + dy - 1 >= 0) & (gy_img + dy - 1 <= H - 1)
-            row = slab_ref[slot, idx]            # [Cin, TW + 256]
-            row = jnp.where(vrow, row, jnp.zeros_like(row))
-            for dx in range(3):
-                piece = row[:, LANE - 1 + dx : LANE - 1 + dx + TW]
-                if dx != 1:
-                    # zero-pad semantics at the image's left/right edge;
-                    # also hides the stale un-DMA'd halo of edge tiles
-                    x_lane = w0 + dx - 1 + lane_iota
-                    ok = (x_lane >= 0) & (x_lane <= W - 1)
-                    piece = jnp.where(ok, piece, jnp.zeros_like(piece))
-                pieces.append(piece)
-        return jnp.concatenate(pieces, axis=0)
+        idx = jnp.clip(gy + dy - 1 - row_start, 0, 9)
+        vrow = (gy_img + dy - 1 >= 0) & (gy_img + dy - 1 <= H - 1)
+        row = slab_ref[slot, idx]                # [Cin, EXT]
+        return jnp.where(vrow & lane_ok, row, jnp.zeros_like(row))
 
-    # CHUNK rows per matmul (VMEM-budgeted by _pick_plan): the chunk's
-    # A-matrices concatenate along lanes -> one [Cout, 9Cin] x
-    # [9Cin, CHUNK*TW] dot per chunk with the epilogue on the f32 acc
+    # Per CHUNK rows: A = [3Cin, CHUNK*EXT] (dy-major sublane concat of
+    # ALIGNED full rows; lane concat at EXT multiples — both offset-0,
+    # the only concats Mosaic accepts). One matmul per dx, then the
+    # +-1-lane x-shift happens on the OUTPUT side as adds of lane-offset
+    # f32 slices (supported; see module docstring / pallas_probe3).
     for c0 in range(0, ROWS, CHUNK):
         amat = jnp.concatenate(
-            [row_block(r) for r in range(c0, c0 + CHUNK)], axis=1
-        )
-        acc = jax.lax.dot_general(
-            kt_ref[...], amat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Cout, CHUNK*TW] f32
-        y = acc + bias_ref[...].reshape(Cout, 1)
-        if prelu:
-            s = slope_ref[...].reshape(Cout, 1)
-            y = jnp.maximum(y, 0.0) + s * jnp.minimum(y, 0.0)
+            [
+                jnp.concatenate(
+                    [row_for(r, dy) for dy in range(3)], axis=0
+                )
+                for r in range(c0, c0 + CHUNK)
+            ],
+            axis=1,
+        )  # [3Cin, CHUNK*EXT]
+        ms = []
+        for kt_ref in (kt0_ref, kt1_ref, kt2_ref):
+            ms.append(jax.lax.dot_general(
+                kt_ref[...], amat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))  # [Cout, CHUNK*EXT] f32
         for j in range(CHUNK):
-            out_ref[c0 + j] = y[:, j * TW : (j + 1) * TW].astype(out_dtype)
+            base = j * EXT + LANE
+            y = (
+                ms[0][:, base - 1 : base - 1 + TW]
+                + ms[1][:, base : base + TW]
+                + ms[2][:, base + 1 : base + 1 + TW]
+            )
+            y = y + bias_ref[...].reshape(Cout, 1)
+            if prelu:
+                sl = slope_ref[...].reshape(Cout, 1)
+                y = jnp.maximum(y, 0.0) + sl * jnp.minimum(y, 0.0)
+            out_ref[c0 + j] = y.astype(out_dtype)
 
 
-def conv3x3_hcw(x: jnp.ndarray, kt: jnp.ndarray, bias: jnp.ndarray,
+def conv3x3_hcw(x: jnp.ndarray, kt, bias: jnp.ndarray,
                 slope: Optional[jnp.ndarray], H: int,
                 interpret: bool = False) -> jnp.ndarray:
     """conv3x3 + bias (+ PReLU when slope given) on HCW activations.
 
-    x: [B*H, Cin, W]; kt: packed [Cout, 9*Cin]; bias/slope: [Cout] f32.
-    Returns [B*H, Cout, W] in x.dtype. Requires (B*H) % 8 == 0,
-    Cin % 8 == 0, Cout % 8 == 0, W % 128 == 0, B*H >= 16.
+    x: [B*H, Cin, W]; kt: per-dx triple of [Cout, 3*Cin] (see
+    pack_conv3x3_weights); bias/slope: [Cout] f32. Returns
+    [B*H, Cout, W] in x.dtype. Requires (B*H) % 8 == 0, W % 128 == 0,
+    B*H >= 16, and Cin/Cout multiples of the dtype's sublane tile
+    (8 for f32, 16 for bf16 — channel_pad).
     """
     BH, Cin, W = x.shape
-    Cout = kt.shape[0]
+    kt0, kt1, kt2 = kt
+    Cout = kt0.shape[0]
+    gran = 16 if x.dtype.itemsize == 2 else 8
     assert BH % ROWS == 0 and W % LANE == 0 and BH >= 16
-    assert Cin % 8 == 0 and Cout % 8 == 0, (Cin, Cout)
+    assert Cin % gran == 0 and Cout % gran == 0, (Cin, Cout, gran)
     TW, chunk = _pick_plan(W, Cin, Cout, x.dtype.itemsize)
     n_rb, n_wt = BH // ROWS, W // TW
     kernel = functools.partial(
@@ -209,13 +238,14 @@ def conv3x3_hcw(x: jnp.ndarray, kt: jnp.ndarray, bias: jnp.ndarray,
     )
     if slope is None:
         slope = jnp.zeros((Cout,), jnp.float32)
+    wspec = pl.BlockSpec((Cout, 3 * Cin), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_rb * n_wt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # x stays in HBM
-            pl.BlockSpec((Cout, 9 * Cin), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            wspec, wspec, wspec,
             pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
         ],
@@ -229,13 +259,14 @@ def conv3x3_hcw(x: jnp.ndarray, kt: jnp.ndarray, bias: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    dt = x.dtype
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BH, Cout, W), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, Cout, W), dt),
         interpret=interpret,
-    )(x, kt.astype(x.dtype), bias.astype(jnp.float32),
-      slope.astype(jnp.float32))
+    )(x, kt0.astype(dt), kt1.astype(dt), kt2.astype(dt),
+      bias.astype(jnp.float32), slope.astype(jnp.float32))
 
 
 def conv3x3_nhwc_pallas(x: jnp.ndarray, k_hwio: jnp.ndarray,
@@ -263,15 +294,24 @@ def _pad8(c: int) -> int:
     return (c + 7) // 8 * 8
 
 
+def channel_pad(c: int, dtype) -> int:
+    """Channel-dim padding granularity: the Mosaic sublane tile is
+    (8, 128) for 4-byte and (16, 128) for 2-byte dtypes; concatenating
+    channel blocks at non-tile offsets is rejected by the compiler."""
+    g = 16 if jnp.dtype(dtype).itemsize == 2 else 8
+    return (c + g - 1) // g * g
+
+
 def nhwc_to_hcw(x: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, W, C] -> [B*H, Cpad8, W] (zero-padded channels).
+    """[B, H, W, C] -> [B*H, Cpad, W] (zero-padded channels; pad
+    granularity 8 for f32, 16 for bf16 — see channel_pad).
 
     One transpose at the entry of a run of HCW convs; the pad rides the
     same copy. Padded channels stay zero through any conv whose packed
     weights were padded to match (pack_conv3x3_weights_padded).
     """
     B, H, W, C = x.shape
-    cp = _pad8(C)
+    cp = channel_pad(C, x.dtype)
     if cp != C:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - C)))
     return x.reshape(B * H, W, cp).transpose(0, 2, 1)
@@ -284,23 +324,27 @@ def hcw_to_nhwc(x_hcw: jnp.ndarray, B: int, c_true: int) -> jnp.ndarray:
     return x.reshape(B, BH // B, W, c_true)
 
 
-def pack_conv3x3_weights_padded(k_hwio: jnp.ndarray) -> jnp.ndarray:
-    """HWIO -> packed [Cout_pad8, 9*Cin_pad8] (zeros in the pad rows, so
+def pack_conv3x3_weights_padded(k_hwio: jnp.ndarray,
+                                act_dtype=jnp.float32) -> jnp.ndarray:
+    """HWIO -> packed [Cout_pad, 9*Cin_pad] (zeros in the pad rows, so
     zero-padded input channels contribute nothing and padded output
-    channels stay exactly zero)."""
+    channels stay exactly zero). Pad granularity follows the ACTIVATION
+    dtype the kernel will run in (channel_pad)."""
     kh, kw, cin, cout = k_hwio.shape
-    cinp, coutp = _pad8(cin), _pad8(cout)
+    cinp = channel_pad(cin, act_dtype)
+    coutp = channel_pad(cout, act_dtype)
     if (cinp, coutp) != (cin, cout):
         k_hwio = jnp.pad(
             k_hwio, ((0, 0), (0, 0), (0, cinp - cin), (0, coutp - cout))
         )
-    return pack_conv3x3_weights(k_hwio)
+    return pack_conv3x3_weights(k_hwio)  # tuple of 3 [Coutp, 3*Cinp]
 
 
-def pad_channel_vec(v: jnp.ndarray) -> jnp.ndarray:
-    """Pad a per-channel vector (bias / PReLU slope) to the 8-multiple."""
+def pad_channel_vec(v: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray:
+    """Pad a per-channel vector (bias / PReLU slope) to the activation
+    dtype's channel granularity."""
     c = v.shape[0]
-    cp = _pad8(c)
+    cp = channel_pad(c, act_dtype)
     return jnp.pad(v, (0, cp - c)) if cp != c else v
 
 
@@ -328,3 +372,65 @@ def resolve_conv_impl(impl: str, shape4) -> tuple:
     if impl == "pallas":
         return True, jax.default_backend() != "tpu"
     return jax.default_backend() == "tpu", False
+
+
+# ----------------------------------------------------------------------
+# differentiable entry point (training runs the fast forward; the
+# backward falls back to the XLA conv composition, whose gradient is
+# the true gradient because the kernel forward is exact)
+# ----------------------------------------------------------------------
+
+def _xla_equiv(x_hcw, k_hwio, bias, slope, H: int, prelu: bool):
+    """XLA composition equal to conv3x3_hcw on padded HCW activations."""
+    BH, cp, W = x_hcw.shape
+    B = BH // H
+    cin, cout = k_hwio.shape[2], k_hwio.shape[3]
+    xn = x_hcw[:, :cin, :].transpose(0, 2, 1).reshape(B, H, W, cin)
+    y = jax.lax.conv_general_dilated(
+        xn, k_hwio.astype(xn.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)
+    if prelu:
+        s = slope.astype(jnp.float32)
+        y = jnp.maximum(y, 0.0) + s * jnp.minimum(y, 0.0)
+    y = y.astype(x_hcw.dtype)
+    coutp = channel_pad(cout, x_hcw.dtype)
+    if coutp != cout:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, coutp - cout)))
+    return y.reshape(BH, W, coutp).transpose(0, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def conv3x3_hcw_op(x_hcw, k_hwio, bias, slope, H: int, prelu: bool,
+                   interpret: bool):
+    """Differentiable HCW conv3x3(+bias+PReLU) on padded activations.
+
+    x_hcw: [B*H, pad8(Cin), W] (already in compute dtype); k_hwio:
+    [3, 3, Cin, Cout] f32 params; bias/slope: [Cout] f32.
+    Returns [B*H, pad8(Cout), W].
+    """
+    dt = x_hcw.dtype
+    kt = pack_conv3x3_weights_padded(k_hwio, dt)
+    return conv3x3_hcw(
+        x_hcw, kt, pad_channel_vec(bias, dt),
+        pad_channel_vec(slope, dt) if prelu else None,
+        H=H, interpret=interpret,
+    )
+
+
+def _op_fwd(x_hcw, k_hwio, bias, slope, H, prelu, interpret):
+    out = conv3x3_hcw_op(x_hcw, k_hwio, bias, slope, H, prelu, interpret)
+    return out, (x_hcw, k_hwio, bias, slope)
+
+
+def _op_bwd(H, prelu, interpret, res, g):
+    x_hcw, k_hwio, bias, slope = res
+    _, vjp = jax.vjp(
+        lambda x, k, b, s: _xla_equiv(x, k, b, s, H, prelu),
+        x_hcw, k_hwio, bias, slope,
+    )
+    return vjp(g)
+
+
+conv3x3_hcw_op.defvjp(_op_fwd, _op_bwd)

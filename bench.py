@@ -3,8 +3,8 @@
 Measures steady-state frames/sec of the base model (global motion on,
 bf16 compute) at 4K (3840x2160 padded to /64 per the demo protocol,
 demo_2x.py:74) plus 1080p and the lite variant for context. Uses
-distinct pre-uploaded inputs per call (the serving pattern; also avoids
-any transport-level request dedup).
+distinct device-generated frame pairs per call (the serving pattern;
+also avoids any transport-level request dedup).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Context lines go to stderr.
@@ -20,17 +20,26 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _frame_pairs(rng, iters, h, w):
+def _frame_pairs(seed, iters, h, w):
     """[iters, 2, 1, h, w, 3] distinct frame pairs: frame 1 is frame 0
     shifted by ~8 px plus fresh noise, so predicted flows are nonzero
     and the tile-slab warp kernel does representative (not best-case
-    zero-motion) work — identical-frame input was flagged by review."""
+    zero-motion) work — identical-frame input was flagged by review.
+    Generated ON DEVICE: host->device uploads crawl at ~1-2 MB/s
+    through the axon relay (a 4K pair set would take ~10 minutes)."""
+    import jax
     import jax.numpy as jnp
 
-    x0 = rng.random((iters, 1, h, w, 3), np.float32)
-    x1 = np.roll(x0, shift=(8, -8), axis=(2, 3))
-    x1 = 0.7 * x1 + 0.3 * rng.random((iters, 1, h, w, 3), np.float32)
-    return jnp.stack([jnp.asarray(x0), jnp.asarray(x1)], axis=1)
+    def gen(k1, k2):
+        x0 = jax.random.uniform(k1, (iters, 1, h, w, 3), jnp.float32)
+        x1 = jnp.roll(x0, shift=(8, -8), axis=(2, 3))
+        x1 = 0.7 * x1 + 0.3 * jax.random.uniform(
+            k2, (iters, 1, h, w, 3), jnp.float32
+        )
+        return jnp.stack([x0, x1], axis=1)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return jax.jit(gen)(k1, k2)
 
 
 def build(variant):
@@ -61,7 +70,6 @@ def bench_vimeo_res(variant, iters=20):
 
     cfg = get_config(variant, dtype=jnp.bfloat16)
     net = Network(cfg)
-    rng = np.random.default_rng(0)
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = jax.jit(
         lambda a, b: net.init(jax.random.PRNGKey(0), a, b, global_motion=False)
@@ -70,7 +78,7 @@ def bench_vimeo_res(variant, iters=20):
     fwd = jax.jit(
         lambda v, a, b: net.apply(v, a, b, global_motion=False)["I_t"]
     )
-    stacked = _frame_pairs(rng, iters, 256, 448)
+    stacked = _frame_pairs(0, iters, 256, 448)
     # at this size the ~30 ms relay fence dominates a per-call loop, so
     # run the iters as ONE lax.scan (body compiled once, iterations
     # serialized by the carried token) and fence a single scalar
@@ -104,10 +112,9 @@ def bench_resolution(variables, net, h, w, iters):
 
     from atmvfi_tpu.infer.padder import InputPadder
 
-    rng = np.random.default_rng(0)
     padder = InputPadder((1, h, w, 3), divisor=64)
     ph, pw = padder.padded_shape
-    stacked = _frame_pairs(rng, iters, ph, pw)
+    stacked = _frame_pairs(h, iters, ph, pw)
 
     def chained(variables, stacked):
         def body(tok, pair):

@@ -83,3 +83,32 @@ def test_model_conv_impl_pallas_matches_xla():
         np.asarray(out_p["I_t"]), np.asarray(out_x["I_t"]),
         atol=5e-6, rtol=1e-5,
     )
+
+
+def test_conv_op_gradients_match_xla():
+    """conv3x3_hcw_op custom VJP vs grads of the plain XLA conv chain —
+    the training path runs the Pallas forward at qualifying widths."""
+    from atmvfi_tpu.ops.conv_pallas import conv3x3_hcw_op, nhwc_to_hcw
+
+    rng = np.random.default_rng(11)
+    B, H, W, Cin, Cout = 1, 16, 256, 8, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, Cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.random((Cout,)) * 0.5, jnp.float32)
+
+    def loss_pl(x, k, b, s):
+        xh = nhwc_to_hcw(x)
+        y = conv3x3_hcw_op(xh, k, b, s, H, True, True)
+        return jnp.sum(y ** 2)
+
+    def loss_xla(x, k, b, s):
+        y = _ref_conv(x, k, b, s)
+        return jnp.sum(y ** 2)
+
+    gp = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(x, k, b, s)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(x, k, b, s)
+    for a, w in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), atol=5e-3, rtol=1e-3
+        )

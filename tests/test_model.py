@@ -181,11 +181,28 @@ def test_ensemble_parity(lite_pair):
     assert np.abs(got - want).max() < 5e-4
 
 
-def test_full_forward_parity_odd_resolution(lite_pair):
+def test_full_forward_parity_odd_resolution():
     """80x112: token grids 10x14 (local, win 8) and 5x7 (global, win 12)
     need center pad-masks AND shifted-window masks in the same forward
-    (reference attention.py:28-62,275-307)."""
-    tmodel, net, variables = lite_pair
+    (reference attention.py:28-62,275-307).
+
+    Uses a FRESH reference model rather than the shared fixture: the
+    reference caches each block's shifted-window mask keyed only on the
+    padded token AREA (attention.py:279 `self.HW.item() == H_p * W_p`),
+    and the global branch pads both 64x96 (4x6 tokens) and 80x112
+    (5x7 tokens) to 12x12 = 144 — an area collision that makes a reused
+    torch model serve a stale mask with the WRONG pad-mask baked in.
+    Our masks are static per-trace constants, so only the reference
+    side needs the fresh instance (a latent reference bug in the same
+    family as SURVEY.md 2.27; not replicated by design)."""
+    from refutil import import_reference
+
+    ref = import_reference()
+    torch.manual_seed(0)
+    tmodel = ref.network_lite.Network(global_motion=True)
+    tmodel.eval()
+    variables = convert_state_dict(tmodel.state_dict())
+    net = Network(get_config("lite"))
     rng = np.random.default_rng(23)
     im0 = rng.random((1, 80, 112, 3), dtype=np.float32)
     im1 = rng.random((1, 80, 112, 3), dtype=np.float32)
