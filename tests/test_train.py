@@ -115,4 +115,7 @@ def test_dryrun_multichip_8dev():
     import __graft_entry__ as ge
 
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    ge.dryrun_multichip(8)
+    # check 1 only: checks 2/3 (1080p sharded forward, bs16@448 train
+    # step) compile for tens of minutes on the CPU mesh — the driver's
+    # dryrun runs them (MULTICHIP_r02), not CI
+    ge.dryrun_multichip(8, checks=(1,))
