@@ -163,12 +163,29 @@ class Deconv2x(nn.Module):
     with_prelu: bool = True
 
     @nn.compact
-    def __call__(self, x):
-        B, H, W, C = x.shape
+    def __call__(self, x, hcw: Optional[tuple] = None,
+                 interpret: bool = False):
+        """NHWC XLA path by default. With `hcw=(cin_true,)` (static), x
+        is HCW [B*h, pad(cin_true), w] and the Pallas deconv kernel
+        (ops/deconv_pallas.py) emits full-res HCW directly — the entry
+        op of the decoder stages' HCW conv runs."""
+        from atmvfi_tpu.ops import deconv_pallas as dp
+
+        C = hcw[0] if hcw is not None else x.shape[-1]
         kernel = self.param(
             "kernel", torch_conv_kernel_init(), (2, 2, C, self.features)
         )
         bias = self.param("bias", torch_conv_bias_init(4 * C), (self.features,))
+        alpha = (
+            self.param("prelu", prelu_init, (self.features,))
+            if self.with_prelu else None
+        )
+        if hcw is not None:
+            return dp.deconv2x_hcw_op(
+                x.astype(self.dtype), kernel, bias,
+                alpha if alpha is not None else jnp.zeros_like(bias),
+                self.with_prelu, interpret,
+            )
         # lax.conv_transpose correlates with the unflipped kernel; flip
         # spatially to get scatter semantics out[2h+dy] += x[h]*K[dy]
         # (torch ConvTranspose2d parity, verified to 5e-7).
@@ -181,7 +198,6 @@ class Deconv2x(nn.Module):
         )
         y = y + bias.astype(self.dtype)
         if self.with_prelu:
-            alpha = self.param("prelu", prelu_init, (self.features,))
             y = prelu(y, alpha)
         return y
 

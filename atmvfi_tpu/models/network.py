@@ -240,6 +240,42 @@ class Network(nn.Module):
         occ1 = jax.nn.sigmoid(out_f[..., 4:5])
         return flow0, flow1, occ1
 
+    def _decoder_stage(self, stage, feat):
+        """One decoder stage [PReLU?, Deconv2x, ConvPReLU, PlainConv].
+
+        Preferred route (input width % 128): HCW end to end — the
+        Pallas deconv emits HCW full-res and the conv pair consumes it,
+        so the stage pays ONE half-res entry transpose and one exit
+        transpose. Falls back to deconv-in-XLA + _conv_pair_hcw (output
+        width % 128), then all-XLA.
+        """
+        from atmvfi_tpu.ops import conv_pallas as cp
+        from atmvfi_tpu.ops import deconv_pallas as dp
+
+        pre, deconv, conv_a, conv_b = stage[:-3], stage[-3], stage[-2], stage[-1]
+        feat = _seq(pre, feat)
+        B, h, w, cin = feat.shape
+        out_shape = (B, 2 * h, 2 * w, deconv.features)
+        use, interp = cp.resolve_conv_impl(self.cfg.conv_impl, out_shape)
+        deconv_ok = (
+            use and w % 128 == 0 and (B * h) % 4 == 0
+            and dp.deconv_fits(w, cin, deconv.features, feat.dtype)
+            and cp.conv_run_fits(
+                2 * w,
+                [(deconv.features, conv_a.features),
+                 (conv_a.features, conv_b.features)],
+                feat.dtype,
+            )
+        )
+        if deconv_ok:
+            xh = cp.nhwc_to_hcw(feat)                 # half-res transpose
+            xh = deconv(xh, hcw=(cin,), interpret=interp)
+            xh = conv_a(xh, hcw=(deconv.features, 2 * h), interpret=interp)
+            xh = conv_b(xh, hcw=(conv_a.features, 2 * h), interpret=interp)
+            return cp.hcw_to_nhwc(xh, B, conv_b.features)
+        feat = deconv(feat)
+        return self._conv_pair_hcw(conv_a, conv_b, feat)
+
     def _conv_pair_hcw(self, conv_a, conv_b, feat):
         """Run two stride-1 3x3 convs, through the Pallas HCW kernel when
         cfg.conv_impl resolves to it for this shape (full-res stages:
@@ -247,10 +283,15 @@ class Network(nn.Module):
         from atmvfi_tpu.ops import conv_pallas as cp
 
         use, interp = cp.resolve_conv_impl(self.cfg.conv_impl, feat.shape)
+        cin = feat.shape[-1]
+        use = use and cp.conv_run_fits(
+            feat.shape[2],
+            [(cin, conv_a.features), (conv_a.features, conv_b.features)],
+            feat.dtype,
+        )
         if not use:
             return conv_b(conv_a(feat))
         B, H = feat.shape[0], feat.shape[1]
-        cin = feat.shape[-1]
         xh = cp.nhwc_to_hcw(feat)
         xh = conv_a(xh, hcw=(cin, H), interpret=interp)
         xh = conv_b(xh, hcw=(conv_a.features, H), interpret=interp)
@@ -265,6 +306,10 @@ class Network(nn.Module):
             axis=-1,
         )
         use, interp = cp.resolve_conv_impl(self.cfg.conv_impl, cat0.shape)
+        W = cat0.shape[2]
+        use = use and cp.conv_run_fits(
+            W, [(cat0.shape[-1], self.refine_proj.features)], cat0.dtype
+        )
         B, H = cat0.shape[0], cat0.shape[1]
         if use:
             xh = cp.nhwc_to_hcw(cat0)
@@ -280,7 +325,14 @@ class Network(nn.Module):
         feat1_ = _seq(self.up2, jnp.concatenate([feat2_, feat2], axis=-1))
         feat0_ = _seq(self.up3, jnp.concatenate([feat1_, feat1], axis=-1))
         cat_h = jnp.concatenate([feat0_, feat0], axis=-1)
-        if use:
+        use_head, interp = cp.resolve_conv_impl(self.cfg.conv_impl, cat_h.shape)
+        use_head = use_head and cp.conv_run_fits(
+            W,
+            [(cat_h.shape[-1], self.refine_head[0].features),
+             (self.refine_head[0].features, self.refine_head[1].features)],
+            cat_h.dtype,
+        )
+        if use_head:
             xh = cp.nhwc_to_hcw(cat_h)
             xh = self.refine_head[0](xh, hcw=(cat_h.shape[-1], H),
                                      interpret=interp)
@@ -415,11 +467,7 @@ class Network(nn.Module):
         for stage, scale in zip(
             (self.upsample0, self.upsample1, self.upsample2), (2, 1, 0)
         ):
-            # each stage ends with [ConvPReLU, PlainConv] at the stage's
-            # output resolution; route that pair through the Pallas HCW
-            # conv run when enabled (one transpose in, one out)
-            feat = _seq(stage[:-2], feat)
-            feat = self._conv_pair_hcw(stage[-2], stage[-1], feat)
+            feat = self._decoder_stage(stage, feat)
             out = feat[..., -mo:]
             out_f = out.astype(jnp.float32)
             flow0 = out_f[..., 0:2]

@@ -348,6 +348,22 @@ def pad_channel_vec(v: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray:
     return jnp.pad(v, (0, cp - c)) if cp != c else v
 
 
+def conv_run_fits(W: int, channel_pairs, dtype) -> bool:
+    """Whether every (cin, cout) conv in an HCW run has a VMEM-feasible
+    tiling at width W (channel padding applied here). Route decisions
+    must consult this: _pick_plan RAISES for infeasible shapes (e.g.
+    392->392 f32 at W=640, the base decoder mid stage at 2560-wide
+    frames) and the wrapper should silently take the XLA path instead."""
+    nbytes = jnp.dtype(dtype).itemsize
+    for cin, cout in channel_pairs:
+        try:
+            _pick_plan(W, channel_pad(cin, dtype), channel_pad(cout, dtype),
+                       nbytes)
+        except ValueError:
+            return False
+    return True
+
+
 def hcw_conv_applicable(shape4, on_tpu_only: bool = True) -> bool:
     """Whether a run of HCW Pallas convs is worth it for this NHWC shape."""
     B, H, W, C = shape4

@@ -112,3 +112,39 @@ def test_conv_op_gradients_match_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(w), atol=5e-3, rtol=1e-3
         )
+
+
+def test_infeasible_shapes_fall_back_not_raise():
+    """W=640 at 392->392 f32 (base decoder mid stage at 2560-wide
+    frames) has no VMEM-feasible tiling; the route helpers must report
+    it instead of letting _pick_plan raise at trace time."""
+    from atmvfi_tpu.ops.conv_pallas import conv_run_fits
+    from atmvfi_tpu.ops.deconv_pallas import deconv_fits
+
+    assert not conv_run_fits(640, [(392, 392)], jnp.float32)
+    assert conv_run_fits(640, [(37, 37)], jnp.float32)
+    assert deconv_fits(128, 104, 37, jnp.float32)
+    assert not deconv_fits(1280, 2048, 2048, jnp.float32)
+
+
+def test_model_route_skips_infeasible_conv_pair():
+    """Regression: the 1/4-res base decoder pair (389ch) at W=640 used
+    to crash tracing under conv_impl='pallas'/auto-on-TPU; the route
+    must silently take the XLA path for it."""
+    import dataclasses
+    from atmvfi_tpu.models import Network, get_config
+
+    cfg = dataclasses.replace(get_config("base"), conv_impl="pallas")
+    net = Network(cfg)
+    dummy = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), dummy, dummy)
+
+    rng = np.random.default_rng(3)
+    feat = jnp.asarray(rng.standard_normal((1, 16, 640, 389)) * 0.1,
+                       jnp.float32)
+
+    def run(self, f):
+        return self._conv_pair_hcw(self.upsample0[-2], self.upsample0[-1], f)
+
+    out = net.apply(variables, feat, method=run)
+    assert out.shape == (1, 16, 640, 389)
