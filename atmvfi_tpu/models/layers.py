@@ -101,8 +101,10 @@ class ConvPReLU(nn.Module):
             assert (
                 self.kernel == 3 and self.stride == 1 and self.dilation == 1
             )
+            wt = hcw[2] if len(hcw) > 2 else None
             return cp.conv3x3_hcw_op(
-                x.astype(self.dtype), k, b, alpha, hcw[1], True, interpret
+                x.astype(self.dtype), k, b, alpha, hcw[1], True, interpret,
+                wt,
             )
         x = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
@@ -138,9 +140,10 @@ class PlainConv(nn.Module):
                        (self.features,))
         if hcw is not None:
             assert self.kernel == 3
+            wt = hcw[2] if len(hcw) > 2 else None
             return cp.conv3x3_hcw_op(
                 x.astype(self.dtype), k, b, jnp.zeros_like(b), hcw[1],
-                False, interpret
+                False, interpret, wt,
             )
         pad = self.kernel // 2
         return jax.lax.conv_general_dilated(
@@ -151,7 +154,7 @@ class PlainConv(nn.Module):
 
 
 class Deconv2x(nn.Module):
-    """ConvTranspose(k=2, s=2) + PReLU as matmul + depth-to-space.
+    """ConvTranspose(k=2, s=2) + PReLU.
 
     Exact parity with the reference `deconv` at its only used config
     (kernel 2, stride 2, padding 0 — network_base.py:202, 243-255):
@@ -181,10 +184,11 @@ class Deconv2x(nn.Module):
             if self.with_prelu else None
         )
         if hcw is not None:
+            wt = hcw[1] if len(hcw) > 1 else None
             return dp.deconv2x_hcw_op(
                 x.astype(self.dtype), kernel, bias,
                 alpha if alpha is not None else jnp.zeros_like(bias),
-                self.with_prelu, interpret,
+                self.with_prelu, interpret, wt,
             )
         # lax.conv_transpose correlates with the unflipped kernel; flip
         # spatially to get scatter semantics out[2h+dy] += x[h]*K[dy]

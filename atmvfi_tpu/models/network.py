@@ -13,7 +13,9 @@ NHWC / JAX form:
     (network_base.py:593-603) is vectorized into argmin + gather.
 
 All heavy compute is MXU-friendly: convs NHWC, window attention as
-batched matmuls, the k2s2 transposed convs as matmul + depth-to-space.
+batched matmuls, the k2s2 transposed convs via `lax.conv_transpose`
+(or the Pallas HCW deconv kernel at full-res stages — layers.py
+Deconv2x, ops/deconv_pallas.py).
 """
 from __future__ import annotations
 
@@ -34,6 +36,15 @@ from atmvfi_tpu.models.layers import (
     PReLU,
     RefineBottleneck,
 )
+
+
+def _hcw_route_on(name: str) -> bool:
+    """Debug escape hatch: ATMVFI_HCW_DISABLE=enc,dec,pair,proj,up3,head
+    turns individual HCW Pallas route sites off (read at trace time)."""
+    import os
+
+    dis = os.environ.get("ATMVFI_HCW_DISABLE", "")
+    return name not in [s for s in dis.split(",") if s]
 
 
 def _plain_conv(features: int, kernel: int, in_features: int, dtype, name: str):
@@ -187,11 +198,32 @@ class Network(nn.Module):
     # sub-towers
     # ------------------------------------------------------------------
     def shared_feat_extraction(self, x):
-        """[2B, H, W, 3] -> coarsest feat + [1/2, 1/4, 1/8] scale feats."""
+        """[2B, H, W, 3] -> coarsest feat + [1/2, 1/4, 1/8] scale feats.
+
+        The first stage's two stride-1 convs run at full resolution on
+        both frames. The HCW kernel-pair route here is OPT-IN
+        (ATMVFI_HCW_ENC=1) and exercised by the interpret-mode parity
+        tests (conv_impl='pallas'), but NOT used under 'auto': on real
+        Mosaic this one site diverges from the XLA path by up to the
+        feature magnitude IN-MODEL (demo golden 58.0 -> 50.2 dB) while
+        the identical op sequence probed standalone at the identical
+        shapes is exact to 3e-6 — unexplained; see
+        scripts/tpu_enc_drill.py and PERF_NOTES (round-2 debugging)."""
+        import os
+
+        enc_route = _hcw_route_on("enc") and (
+            self.cfg.conv_impl == "pallas"
+            or os.environ.get("ATMVFI_HCW_ENC") == "1"
+        )
         feats = []
         for i in range(self.cfg.pyramid_level):
-            x = self.feat_extracts[2 * i](x)
-            x = self.feat_extracts[2 * i + 1](x)
+            if i == 0 and enc_route:
+                x = self._conv_pair_hcw(
+                    self.feat_extracts[0], self.feat_extracts[1], x
+                )
+            else:
+                x = self.feat_extracts[2 * i](x)
+                x = self.feat_extracts[2 * i + 1](x)
             if i != 0:
                 feats.append(x)
         return x, feats
@@ -243,11 +275,13 @@ class Network(nn.Module):
     def _decoder_stage(self, stage, feat):
         """One decoder stage [PReLU?, Deconv2x, ConvPReLU, PlainConv].
 
-        Preferred route (input width % 128): HCW end to end — the
-        Pallas deconv emits HCW full-res and the conv pair consumes it,
-        so the stage pays ONE half-res entry transpose and one exit
-        transpose. Falls back to deconv-in-XLA + _conv_pair_hcw (output
-        width % 128), then all-XLA.
+        Preferred route: HCW end to end — the Pallas deconv emits
+        full-res HCW and the conv pair consumes it, so the stage pays
+        ONE half-res entry transpose and one exit transpose. Widths
+        that aren't 128-multiples are lane-padded at entry; the kernels
+        mask reads/writes beyond the true width (exact — see
+        conv3x3_hcw). Falls back to deconv-in-XLA + _conv_pair_hcw,
+        then all-XLA.
         """
         from atmvfi_tpu.ops import conv_pallas as cp
         from atmvfi_tpu.ops import deconv_pallas as dp
@@ -255,50 +289,62 @@ class Network(nn.Module):
         pre, deconv, conv_a, conv_b = stage[:-3], stage[-3], stage[-2], stage[-1]
         feat = _seq(pre, feat)
         B, h, w, cin = feat.shape
+        wp = cp.lane_pad(w)
         out_shape = (B, 2 * h, 2 * w, deconv.features)
         use, interp = cp.resolve_conv_impl(self.cfg.conv_impl, out_shape)
+        pair_ch = [(deconv.features, conv_a.features),
+                   (conv_a.features, conv_b.features)]
         deconv_ok = (
-            use and w % 128 == 0 and (B * h) % 4 == 0
-            and dp.deconv_fits(w, cin, deconv.features, feat.dtype)
-            and cp.conv_run_fits(
-                2 * w,
-                [(deconv.features, conv_a.features),
-                 (conv_a.features, conv_b.features)],
-                feat.dtype,
-            )
+            use and _hcw_route_on("dec") and (B * h) % 4 == 0
+            # deconv cin is exempt from the channel gate: the deconv is
+            # pure MXU matmul work at any width, unlike the halo convs
+            and cp.hcw_channels_profitable(pair_ch, feat.dtype)
+            and dp.deconv_fits(wp, cin, deconv.features, feat.dtype)
+            and cp.conv_run_fits(2 * wp, pair_ch, feat.dtype)
         )
         if deconv_ok:
             xh = cp.nhwc_to_hcw(feat)                 # half-res transpose
-            xh = deconv(xh, hcw=(cin,), interpret=interp)
-            xh = conv_a(xh, hcw=(deconv.features, 2 * h), interpret=interp)
-            xh = conv_b(xh, hcw=(conv_a.features, 2 * h), interpret=interp)
-            return cp.hcw_to_nhwc(xh, B, conv_b.features)
+            xh = deconv(xh, hcw=(cin, w), interpret=interp)
+            xh = conv_a(xh, hcw=(deconv.features, 2 * h, 2 * w),
+                        interpret=interp)
+            xh = conv_b(xh, hcw=(conv_a.features, 2 * h, 2 * w),
+                        interpret=interp)
+            return cp.hcw_to_nhwc(xh, B, conv_b.features, 2 * w)
         feat = deconv(feat)
         return self._conv_pair_hcw(conv_a, conv_b, feat)
 
     def _conv_pair_hcw(self, conv_a, conv_b, feat):
         """Run two stride-1 3x3 convs, through the Pallas HCW kernel when
         cfg.conv_impl resolves to it for this shape (full-res stages:
-        XLA's conv layout copies cost more than the convs, PERF_NOTES)."""
+        XLA's conv layout copies cost more than the convs, PERF_NOTES).
+
+        Casts to the convs' compute dtype FIRST so the entry transpose
+        moves half the bytes and the channel padding granularity
+        matches the kernel's (matters for the f32 image input of the
+        encoder's first pair)."""
         from atmvfi_tpu.ops import conv_pallas as cp
 
+        feat = feat.astype(conv_a.dtype)
         use, interp = cp.resolve_conv_impl(self.cfg.conv_impl, feat.shape)
         cin = feat.shape[-1]
-        use = use and cp.conv_run_fits(
-            feat.shape[2],
-            [(cin, conv_a.features), (conv_a.features, conv_b.features)],
-            feat.dtype,
+        W = feat.shape[2]
+        pair_ch = [(cin, conv_a.features), (conv_a.features, conv_b.features)]
+        use = (
+            use and _hcw_route_on("pair")
+            and cp.hcw_channels_profitable(pair_ch, feat.dtype)
+            and cp.conv_run_fits(cp.lane_pad(W), pair_ch, feat.dtype)
         )
         if not use:
             return conv_b(conv_a(feat))
         B, H = feat.shape[0], feat.shape[1]
         xh = cp.nhwc_to_hcw(feat)
-        xh = conv_a(xh, hcw=(cin, H), interpret=interp)
-        xh = conv_b(xh, hcw=(conv_a.features, H), interpret=interp)
-        return cp.hcw_to_nhwc(xh, B, conv_b.features)
+        xh = conv_a(xh, hcw=(cin, H, W), interpret=interp)
+        xh = conv_b(xh, hcw=(conv_a.features, H, W), interpret=interp)
+        return cp.hcw_to_nhwc(xh, B, conv_b.features, W)
 
     def residual_refinement(self, feat, im0, I_t_0, im1, I_t_1, I_t, skips):
         from atmvfi_tpu.ops import conv_pallas as cp
+        from atmvfi_tpu.ops import deconv_pallas as dp
 
         dt = self.cfg.dtype
         cat0 = jnp.concatenate(
@@ -307,15 +353,18 @@ class Network(nn.Module):
         )
         use, interp = cp.resolve_conv_impl(self.cfg.conv_impl, cat0.shape)
         W = cat0.shape[2]
-        use = use and cp.conv_run_fits(
-            W, [(cat0.shape[-1], self.refine_proj.features)], cat0.dtype
+        proj_ch = [(cat0.shape[-1], self.refine_proj.features)]
+        use = (
+            use and _hcw_route_on("proj")
+            and cp.hcw_channels_profitable(proj_ch, cat0.dtype)
+            and cp.conv_run_fits(cp.lane_pad(W), proj_ch, cat0.dtype)
         )
         B, H = cat0.shape[0], cat0.shape[1]
         if use:
             xh = cp.nhwc_to_hcw(cat0)
-            xh = self.refine_proj(xh, hcw=(cat0.shape[-1], H),
+            xh = self.refine_proj(xh, hcw=(cat0.shape[-1], H, W),
                                   interpret=interp)
-            feat0 = cp.hcw_to_nhwc(xh, B, self.refine_proj.features)
+            feat0 = cp.hcw_to_nhwc(xh, B, self.refine_proj.features, W)
         else:
             feat0 = self.refine_proj(cat0)
         feat1 = _seq(self.down1, feat0)
@@ -323,23 +372,60 @@ class Network(nn.Module):
         feat3 = _seq(self.down3, jnp.concatenate([feat2, skips[0]], axis=-1))
         feat2_ = _seq(self.up1, feat3)
         feat1_ = _seq(self.up2, jnp.concatenate([feat2_, feat2], axis=-1))
-        feat0_ = _seq(self.up3, jnp.concatenate([feat1_, feat1], axis=-1))
+        cat1 = jnp.concatenate([feat1_, feat1], axis=-1)
+
+        hid = self.up3[0].features
+        gran = 16 if jnp.dtype(dt).itemsize == 2 else 8
+        head_ch = [(2 * hid, self.refine_head[0].features),
+                   (self.refine_head[0].features, self.refine_head[1].features)]
+        use_head, interp = cp.resolve_conv_impl(
+            self.cfg.conv_impl, (B, H, W, 2 * hid)
+        )
+        use_head = use_head and cp.hcw_channels_profitable(head_ch, dt)
+        Wh = cat1.shape[2]
+        wph = cp.lane_pad(Wh)
+        # preferred: up3's deconv emits full-res HCW straight into the
+        # head pair — the channel concat with feat0 happens in HCW
+        # (contiguous true channels when hid is a sublane-tile multiple)
+        # and the full-res XLA conv_transpose + its PReLU pass vanish
+        deconv_route = (
+            use_head and _hcw_route_on("up3") and hid % gran == 0
+            and (B * cat1.shape[1]) % 4 == 0
+            and dp.deconv_fits(wph, cat1.shape[-1], hid, dt)
+            and cp.conv_run_fits(2 * wph, head_ch, dt)
+        )
+        if deconv_route:
+            xh1 = cp.nhwc_to_hcw(cat1.astype(dt))
+            xh0_ = self.up3[0](xh1, hcw=(cat1.shape[-1], Wh),
+                               interpret=interp)
+            xh = jnp.concatenate(
+                [xh0_, cp.nhwc_to_hcw(feat0.astype(dt), 2 * wph)], axis=1
+            )
+            xh = self.refine_head[0](xh, hcw=(2 * hid, H, W),
+                                     interpret=interp)
+            xh = self.refine_head[1](
+                xh, hcw=(self.refine_head[0].features, H, W),
+                interpret=interp
+            )
+            return 2 * jax.nn.sigmoid(
+                cp.hcw_to_nhwc(xh, B, self.refine_head[1].features, W)
+            ) - 1
+
+        feat0_ = _seq(self.up3, cat1)
         cat_h = jnp.concatenate([feat0_, feat0], axis=-1)
-        use_head, interp = cp.resolve_conv_impl(self.cfg.conv_impl, cat_h.shape)
-        use_head = use_head and cp.conv_run_fits(
-            W,
-            [(cat_h.shape[-1], self.refine_head[0].features),
-             (self.refine_head[0].features, self.refine_head[1].features)],
-            cat_h.dtype,
+        use_head = (
+            use_head and _hcw_route_on("head")
+            and cp.conv_run_fits(cp.lane_pad(W), head_ch, cat_h.dtype)
         )
         if use_head:
             xh = cp.nhwc_to_hcw(cat_h)
-            xh = self.refine_head[0](xh, hcw=(cat_h.shape[-1], H),
+            xh = self.refine_head[0](xh, hcw=(cat_h.shape[-1], H, W),
                                      interpret=interp)
             xh = self.refine_head[1](
-                xh, hcw=(self.refine_head[0].features, H), interpret=interp
+                xh, hcw=(self.refine_head[0].features, H, W),
+                interpret=interp
             )
-            res = cp.hcw_to_nhwc(xh, B, self.refine_head[1].features)
+            res = cp.hcw_to_nhwc(xh, B, self.refine_head[1].features, W)
         else:
             res = _seq(self.refine_head, cat_h)
         return 2 * jax.nn.sigmoid(res) - 1

@@ -59,13 +59,14 @@ def reference_window_attention(q, k, v, scale, rel=None, mask=None):
 
 
 def _kernel(q_ref, k_ref, v_ref, rel_ref, mask_ref, out_ref, motion_ref,
-            *, scale, block_windows, with_motion, with_mask):
+            *, scale, block_windows, with_motion, with_mask, precision):
     for w in range(block_windows):
         q = q_ref[w, 0]
         k = k_ref[w, 0]
         attn = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         ) * scale
         if with_mask:
             attn = attn + mask_ref[w].astype(jnp.float32)
@@ -74,6 +75,7 @@ def _kernel(q_ref, k_ref, v_ref, rel_ref, mask_ref, out_ref, motion_ref,
         out_ref[w, 0] = jax.lax.dot_general(
             a, v_ref[w, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         ).astype(out_ref.dtype)
         if with_motion:
             mx = jnp.sum(attn * rel_ref[0].astype(jnp.float32), axis=-1)
@@ -139,6 +141,10 @@ def _forward(q, k, v, scale, rel, mask, block_windows, interpret):
     kernel = functools.partial(
         _kernel, scale=scale, block_windows=wb,
         with_motion=with_motion, with_mask=with_mask,
+        # true-f32 MXU passes for f32 activations; TPU DEFAULT would
+        # run them single-pass bf16 (see conv_pallas.conv3x3_hcw)
+        precision=(jax.lax.Precision.HIGHEST
+                   if q.dtype == jnp.float32 else None),
     )
     out_shapes = [
         jax.ShapeDtypeStruct((bw_pad, h, N, d), q.dtype),
@@ -168,7 +174,7 @@ def _forward(q, k, v, scale, rel, mask, block_windows, interpret):
 
 def _packed_kernel(q_ref, kv_ref, rel_ref, mask_ref, out_ref,
                    motion_ref, *, scale, block_windows, num_heads,
-                   head_dim, with_motion, with_mask):
+                   head_dim, with_motion, with_mask, precision):
     C = num_heads * head_dim
     for w in range(block_windows):
         q_all = q_ref[w]       # [N, C]
@@ -181,6 +187,7 @@ def _packed_kernel(q_ref, kv_ref, rel_ref, mask_ref, out_ref,
                 q_all[:, lo:hi], kv_all[:, lo:hi],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=precision,
             ) * scale
             if with_mask:
                 attn = attn + m
@@ -189,6 +196,7 @@ def _packed_kernel(q_ref, kv_ref, rel_ref, mask_ref, out_ref,
             out_ref[w, :, lo:hi] = jax.lax.dot_general(
                 a, kv_all[:, C + lo : C + hi], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=precision,
             ).astype(out_ref.dtype)
             if with_motion:
                 mx = jnp.sum(attn * rel_ref[0].astype(jnp.float32), axis=-1)
@@ -251,6 +259,8 @@ def _packed_forward(q, kv, scale, rel, mask, num_heads,
     kernel = functools.partial(
         _packed_kernel, scale=scale, block_windows=wb, num_heads=h,
         head_dim=hd, with_motion=with_motion, with_mask=with_mask,
+        precision=(jax.lax.Precision.HIGHEST
+                   if q.dtype == jnp.float32 else None),
     )
     out_shapes = [
         jax.ShapeDtypeStruct((bw_pad, N, C), q.dtype),

@@ -90,7 +90,8 @@ def _pick_plan(W: int, cin: int, cout: int, dtype_bytes: int):
 
 def _kernel(x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref,
             out_ref, slab_ref, sem,
-            *, BH, H, W, Cin, Cout, TW, CHUNK, n_wt, prelu, out_dtype):
+            *, BH, H, W, Wt, Cin, Cout, TW, CHUNK, n_wt, prelu, out_dtype,
+            precision):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     rb = t // n_wt
@@ -165,9 +166,11 @@ def _kernel(x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref,
     EXT = TW + 2 * LANE
     # zero invalid lanes ONCE per row: x < 0 / x >= W (zero padding) and
     # the stale un-DMA'd halo lanes of edge tiles
+    # Wt < W is the LANE-PADDED case: lanes x >= Wt are semantically
+    # outside the image ('same' zero padding), whatever the array holds
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, EXT), 1)
     x_full = w0 - LANE + lane_iota
-    lane_ok = (x_full >= 0) & (x_full <= W - 1)
+    lane_ok = (x_full >= 0) & (x_full <= Wt - 1)
 
     def row_for(r, dy):
         gy = rb * ROWS + r
@@ -198,6 +201,7 @@ def _kernel(x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref,
                 kt_ref[...], amat,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=precision,
             ))  # [Cout, CHUNK*EXT] f32
         for j in range(CHUNK):
             base = j * EXT + LANE
@@ -210,11 +214,20 @@ def _kernel(x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref,
             if prelu:
                 sl = slope_ref[...].reshape(Cout, 1)
                 y = jnp.maximum(y, 0.0) + sl * jnp.minimum(y, 0.0)
+            if Wt < W:
+                # zero the padded lanes (they hold bias/PReLU(bias)
+                # otherwise) so a following kernel's halo reads see
+                # clean zero padding at the true right edge
+                out_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, TW), 1
+                )
+                y = jnp.where(w0 + out_iota < Wt, y, 0.0)
             out_ref[c0 + j] = y.astype(out_dtype)
 
 
 def conv3x3_hcw(x: jnp.ndarray, kt, bias: jnp.ndarray,
                 slope: Optional[jnp.ndarray], H: int,
+                w_true: Optional[int] = None,
                 interpret: bool = False) -> jnp.ndarray:
     """conv3x3 + bias (+ PReLU when slope given) on HCW activations.
 
@@ -223,18 +236,34 @@ def conv3x3_hcw(x: jnp.ndarray, kt, bias: jnp.ndarray,
     [B*H, Cout, W] in x.dtype. Requires (B*H) % 8 == 0, W % 128 == 0,
     B*H >= 16, and Cin/Cout multiples of the dtype's sublane tile
     (8 for f32, 16 for bf16 — channel_pad).
+
+    w_true < W marks lane-padded activations: lanes x >= w_true are
+    treated as outside the image on the read side (whatever the array
+    holds) and zeroed on the write side, so a chain of kernels stays
+    exactly equal to the unpadded conv at width w_true.
     """
     BH, Cin, W = x.shape
     kt0, kt1, kt2 = kt
     Cout = kt0.shape[0]
+    wt = W if w_true is None else w_true
     gran = 16 if x.dtype.itemsize == 2 else 8
     assert BH % ROWS == 0 and W % LANE == 0 and BH >= 16
+    assert 0 < wt <= W
     assert Cin % gran == 0 and Cout % gran == 0, (Cin, Cout, gran)
     TW, chunk = _pick_plan(W, Cin, Cout, x.dtype.itemsize)
     n_rb, n_wt = BH // ROWS, W // TW
     kernel = functools.partial(
-        _kernel, BH=BH, H=H, W=W, Cin=Cin, Cout=Cout, TW=TW, CHUNK=chunk,
-        n_wt=n_wt, prelu=slope is not None, out_dtype=x.dtype,
+        _kernel, BH=BH, H=H, W=W, Wt=wt, Cin=Cin, Cout=Cout, TW=TW,
+        CHUNK=chunk, n_wt=n_wt, prelu=slope is not None, out_dtype=x.dtype,
+        # f32 activations: force true-f32 MXU passes. TPU's DEFAULT
+        # precision computes f32 dots as single-pass bf16 (measured
+        # mean 1.7e-2 off a HIGHEST chain at 101ch/W1280 — see
+        # scripts/tpu_chain_attrib.py); on the first conv of the
+        # network that noise propagates everywhere and costs ~8 dB vs
+        # the torch golden. bf16 activations are single-pass exact on
+        # the MXU, so HIGHEST costs nothing there.
+        precision=(jax.lax.Precision.HIGHEST
+                   if x.dtype == jnp.float32 else None),
     )
     if slope is None:
         slope = jnp.zeros((Cout,), jnp.float32)
@@ -302,26 +331,37 @@ def channel_pad(c: int, dtype) -> int:
     return (c + g - 1) // g * g
 
 
-def nhwc_to_hcw(x: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, W, C] -> [B*H, Cpad, W] (zero-padded channels; pad
-    granularity 8 for f32, 16 for bf16 — see channel_pad).
+def lane_pad(w: int) -> int:
+    return (w + LANE - 1) // LANE * LANE
 
-    One transpose at the entry of a run of HCW convs; the pad rides the
+
+def nhwc_to_hcw(x: jnp.ndarray, w_pad: Optional[int] = None) -> jnp.ndarray:
+    """[B, H, W, C] -> [B*H, Cpad, Wpad] (zero-padded channels AND
+    lanes; channel pad granularity 8 for f32 / 16 for bf16, lane pad to
+    the next 128-multiple — or to w_pad, e.g. to match a deconv
+    output's 2*lane_pad(W/2) width for a channel concat).
+
+    One transpose at the entry of a run of HCW convs; the pads ride the
     same copy. Padded channels stay zero through any conv whose packed
-    weights were padded to match (pack_conv3x3_weights_padded).
+    weights were padded to match (pack_conv3x3_weights_padded); padded
+    lanes are re-zeroed by the kernels' w_true masking.
     """
     B, H, W, C = x.shape
     cp = channel_pad(C, x.dtype)
-    if cp != C:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - C)))
-    return x.reshape(B * H, W, cp).transpose(0, 2, 1)
+    wp = lane_pad(W) if w_pad is None else w_pad
+    assert wp >= W and wp % LANE == 0
+    if (cp, wp) != (C, W):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wp - W), (0, cp - C)))
+    return x.reshape(B * H, wp, cp).transpose(0, 2, 1)
 
 
-def hcw_to_nhwc(x_hcw: jnp.ndarray, B: int, c_true: int) -> jnp.ndarray:
-    """[B*H, Cpad, W] -> [B, H, W, c_true] (drops channel padding)."""
+def hcw_to_nhwc(x_hcw: jnp.ndarray, B: int, c_true: int,
+                w_true: Optional[int] = None) -> jnp.ndarray:
+    """[B*H, Cpad, Wpad] -> [B, H, w_true, c_true] (drops padding)."""
     BH, cp, W = x_hcw.shape
-    x = x_hcw[:, :c_true, :].transpose(0, 2, 1)
-    return x.reshape(B, BH // B, W, c_true)
+    wt = W if w_true is None else w_true
+    x = x_hcw[:, :c_true, :wt].transpose(0, 2, 1)
+    return x.reshape(B, BH // B, wt, c_true)
 
 
 def pack_conv3x3_weights_padded(k_hwio: jnp.ndarray,
@@ -348,6 +388,21 @@ def pad_channel_vec(v: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray:
     return jnp.pad(v, (0, cp - c)) if cp != c else v
 
 
+MAX_PROFITABLE_CH = 160
+
+
+def hcw_channels_profitable(channel_pairs, dtype) -> bool:
+    """Measured on device: the HCW conv kernel's edge over XLA shrinks
+    as channels grow (3.2x @32ch, 2.8x @64ch, 1.9x @112ch standalone;
+    net-NEGATIVE at 229+ in a 4K model A/B) — once XLA's conv is
+    MXU-efficient the transposes and lane-pad waste eat the win. Gate
+    the conv-pair route at padded channels <= 160."""
+    return all(
+        channel_pad(c, dtype) <= MAX_PROFITABLE_CH
+        for p in channel_pairs for c in p
+    )
+
+
 def conv_run_fits(W: int, channel_pairs, dtype) -> bool:
     """Whether every (cin, cout) conv in an HCW run has a VMEM-feasible
     tiling at width W (channel padding applied here). Route decisions
@@ -364,10 +419,14 @@ def conv_run_fits(W: int, channel_pairs, dtype) -> bool:
     return True
 
 
-def hcw_conv_applicable(shape4, on_tpu_only: bool = True) -> bool:
-    """Whether a run of HCW Pallas convs is worth it for this NHWC shape."""
+def hcw_conv_applicable(shape4, on_tpu_only: bool = True,
+                        min_w: int = 256) -> bool:
+    """Whether a run of HCW Pallas convs is worth it for this NHWC
+    shape. Widths need not be 128-multiples (lane padding + in-kernel
+    w_true masking keep the chain exact), but below min_w the pad waste
+    and dispatch overhead beat XLA's conv there."""
     B, H, W, C = shape4
-    if (B * H) % ROWS or (B * H) < 16 or W % LANE:
+    if (B * H) % ROWS or (B * H) < 16 or W < min_w:
         return False
     if on_tpu_only and jax.default_backend() != "tpu":
         return False
@@ -378,15 +437,18 @@ def resolve_conv_impl(impl: str, shape4) -> tuple:
     """-> (use_hcw, interpret) for one full-res conv run.
 
     'auto' uses the Pallas kernel on TPU when the shape qualifies;
-    'pallas' forces it (interpret mode off-TPU, for tests); 'xla'
+    'pallas' forces it (interpret mode off-TPU, for tests; relaxed
+    width floor so small-shape tests exercise the kernel); 'xla'
     disables. shape4 is the NHWC shape entering the run.
     """
     if impl == "xla":
         return False, False
+    if impl == "pallas":
+        if not hcw_conv_applicable(shape4, on_tpu_only=False, min_w=64):
+            return False, False
+        return True, jax.default_backend() != "tpu"
     if not hcw_conv_applicable(shape4, on_tpu_only=False):
         return False, False
-    if impl == "pallas":
-        return True, jax.default_backend() != "tpu"
     return jax.default_backend() == "tpu", False
 
 
@@ -396,12 +458,14 @@ def resolve_conv_impl(impl: str, shape4) -> tuple:
 # the true gradient because the kernel forward is exact)
 # ----------------------------------------------------------------------
 
-def _xla_equiv(x_hcw, k_hwio, bias, slope, H: int, prelu: bool):
+def _xla_equiv(x_hcw, k_hwio, bias, slope, H: int, prelu: bool,
+               w_true: Optional[int] = None):
     """XLA composition equal to conv3x3_hcw on padded HCW activations."""
     BH, cp, W = x_hcw.shape
     B = BH // H
+    wt = W if w_true is None else w_true
     cin, cout = k_hwio.shape[2], k_hwio.shape[3]
-    xn = x_hcw[:, :cin, :].transpose(0, 2, 1).reshape(B, H, W, cin)
+    xn = x_hcw[:, :cin, :wt].transpose(0, 2, 1).reshape(B, H, wt, cin)
     y = jax.lax.conv_general_dilated(
         xn, k_hwio.astype(xn.dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -412,38 +476,42 @@ def _xla_equiv(x_hcw, k_hwio, bias, slope, H: int, prelu: bool):
         y = jnp.maximum(y, 0.0) + s * jnp.minimum(y, 0.0)
     y = y.astype(x_hcw.dtype)
     coutp = channel_pad(cout, x_hcw.dtype)
-    if coutp != cout:
-        y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, coutp - cout)))
+    if (coutp, wt) != (cout, W):
+        y = jnp.pad(
+            y, ((0, 0), (0, 0), (0, W - wt), (0, coutp - cout))
+        )
     return y.reshape(BH, W, coutp).transpose(0, 2, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def conv3x3_hcw_op(x_hcw, k_hwio, bias, slope, H: int, prelu: bool,
-                   interpret: bool):
+                   interpret: bool, w_true: Optional[int] = None):
     """Differentiable HCW conv3x3(+bias+PReLU) on padded activations.
 
     x_hcw: [B*H, pad8(Cin), W] (already in compute dtype); k_hwio:
     [3, 3, Cin, Cout] f32 params; bias/slope: [Cout] f32.
-    Returns [B*H, pad8(Cout), W].
+    Returns [B*H, pad8(Cout), W]. w_true < W: lane-padded semantics
+    (see conv3x3_hcw).
     """
     dt = x_hcw.dtype
     kt = pack_conv3x3_weights_padded(k_hwio, dt)
     return conv3x3_hcw(
         x_hcw, kt, pad_channel_vec(bias, dt),
         pad_channel_vec(slope, dt) if prelu else None,
-        H=H, interpret=interpret,
+        H=H, w_true=w_true, interpret=interpret,
     )
 
 
-def _op_fwd(x_hcw, k_hwio, bias, slope, H, prelu, interpret):
-    out = conv3x3_hcw_op(x_hcw, k_hwio, bias, slope, H, prelu, interpret)
+def _op_fwd(x_hcw, k_hwio, bias, slope, H, prelu, interpret, w_true):
+    out = conv3x3_hcw_op(x_hcw, k_hwio, bias, slope, H, prelu, interpret,
+                         w_true)
     return out, (x_hcw, k_hwio, bias, slope)
 
 
-def _op_bwd(H, prelu, interpret, res, g):
+def _op_bwd(H, prelu, interpret, w_true, res, g):
     x_hcw, k_hwio, bias, slope = res
     _, vjp = jax.vjp(
-        lambda x, k, b, s: _xla_equiv(x, k, b, s, H, prelu),
+        lambda x, k, b, s: _xla_equiv(x, k, b, s, H, prelu, w_true),
         x_hcw, k_hwio, bias, slope,
     )
     return vjp(g)

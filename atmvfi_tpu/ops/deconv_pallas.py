@@ -82,7 +82,8 @@ def deconv_fits(w_half: int, cin: int, cout: int, dtype) -> bool:
 
 
 def _kernel(x_ref, k00_ref, k01_ref, k10_ref, k11_ref, bias_ref, slope_ref,
-            even_ref, odd_ref, *, Cin, Cout, TW, prelu, out_dtype):
+            even_ref, odd_ref, *, Cin, Cout, TW, W, Wt, prelu, out_dtype,
+            precision):
     # x_ref block: [4, Cin, TW] input rows; outputs: [8, Cout, TW] each.
     amat = jnp.concatenate([x_ref[i] for i in range(4)], axis=1)  # [Cin,4TW]
     bias = bias_ref[...].reshape(Cout, 1)
@@ -93,6 +94,7 @@ def _kernel(x_ref, k00_ref, k01_ref, k10_ref, k11_ref, bias_ref, slope_ref,
             kref[...], amat,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         ) + bias  # [Cout, 4*TW] f32
         if prelu:
             m = jnp.maximum(m, 0.0) + slope * jnp.minimum(m, 0.0)
@@ -100,35 +102,54 @@ def _kernel(x_ref, k00_ref, k01_ref, k10_ref, k11_ref, bias_ref, slope_ref,
 
     m00, m01, m10, m11 = (head(r) for r in
                           (k00_ref, k01_ref, k10_ref, k11_ref))
+    if Wt < W:
+        # lane-padded input: half-cols >= Wt are outside the image and
+        # may hold anything; zero the corresponding output lanes so the
+        # consumer kernels' halo reads see clean zero padding
+        col = pl.program_id(1) * TW + jax.lax.broadcasted_iota(
+            jnp.int32, (1, TW), 1
+        )
+        col_ok = col < Wt
+        mask = lambda m: jnp.where(col_ok, m, 0.0)
+    else:
+        mask = lambda m: m
     for j in range(4):
         sl = slice(j * TW, (j + 1) * TW)
-        even_ref[2 * j] = m00[:, sl].astype(out_dtype)      # dy=0, dx=0
-        odd_ref[2 * j] = m01[:, sl].astype(out_dtype)       # dy=0, dx=1
-        even_ref[2 * j + 1] = m10[:, sl].astype(out_dtype)  # dy=1, dx=0
-        odd_ref[2 * j + 1] = m11[:, sl].astype(out_dtype)   # dy=1, dx=1
+        even_ref[2 * j] = mask(m00[:, sl]).astype(out_dtype)      # dy=0,dx=0
+        odd_ref[2 * j] = mask(m01[:, sl]).astype(out_dtype)       # dy=0,dx=1
+        even_ref[2 * j + 1] = mask(m10[:, sl]).astype(out_dtype)  # dy=1,dx=0
+        odd_ref[2 * j + 1] = mask(m11[:, sl]).astype(out_dtype)   # dy=1,dx=1
 
 
 def deconv2x_hcw(x_hcw: jnp.ndarray, kt, bias: jnp.ndarray,
                  slope: Optional[jnp.ndarray],
+                 w_true: Optional[int] = None,
                  interpret: bool = False) -> jnp.ndarray:
     """k2s2 ConvTranspose (+bias, +PReLU) on HCW activations.
 
     x_hcw: [B*h, Cin_pad, w] half-res; kt: pack_deconv2x_weights
     output; bias/slope [Cout] f32. Returns [B*2h, Cout_pad, 2w].
-    Requires (B*h) % 4 == 0 and w % 128 == 0.
+    Requires (B*h) % 4 == 0 and w % 128 == 0. w_true < w marks
+    lane-padded input: output lanes beyond 2*w_true are zeroed so the
+    consumer's halo reads see clean zero padding.
     """
     BH, Cin, w = x_hcw.shape
     k00, k01, k10, k11 = kt
     Cout = k00.shape[0]
+    wt = w if w_true is None else w_true
     gran = 16 if x_hcw.dtype.itemsize == 2 else 8
-    assert BH % 4 == 0 and w % LANE == 0
+    assert BH % 4 == 0 and w % LANE == 0 and 0 < wt <= w
     assert Cin % gran == 0 and Cout % gran == 0, (Cin, Cout, gran)
     TW = _pick_tw(w, Cin, Cout, x_hcw.dtype.itemsize)
     n_rb, n_wt = BH // 4, w // TW
     dt = x_hcw.dtype
     kernel = functools.partial(
-        _kernel, Cin=Cin, Cout=Cout, TW=TW,
+        _kernel, Cin=Cin, Cout=Cout, TW=TW, W=w, Wt=wt,
         prelu=slope is not None, out_dtype=dt,
+        # true-f32 MXU passes for f32 activations (TPU DEFAULT is
+        # single-pass bf16 — see conv_pallas.conv3x3_hcw)
+        precision=(jax.lax.Precision.HIGHEST
+                   if dt == jnp.float32 else None),
     )
     if slope is None:
         slope = jnp.zeros((Cout,), jnp.float32)
@@ -160,11 +181,13 @@ def deconv2x_hcw(x_hcw: jnp.ndarray, kt, bias: jnp.ndarray,
     return jnp.stack([even, odd], axis=-1).reshape(2 * BH, Cout, 2 * w)
 
 
-def _xla_equiv(x_hcw, k_hwio, bias, slope, prelu: bool):
+def _xla_equiv(x_hcw, k_hwio, bias, slope, prelu: bool,
+               w_true: Optional[int] = None):
     """XLA conv_transpose composition equal to deconv2x_hcw."""
     BH, cp, w = x_hcw.shape
+    wt = w if w_true is None else w_true
     cin, cout = k_hwio.shape[2], k_hwio.shape[3]
-    xn = x_hcw[:, :cin, :].transpose(0, 2, 1)[None]  # [1, BH, w, cin]
+    xn = x_hcw[:, :cin, :wt].transpose(0, 2, 1)[None]  # [1, BH, wt, cin]
     y = jax.lax.conv_transpose(
         xn, k_hwio[::-1, ::-1].astype(xn.dtype), strides=(2, 2),
         padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -173,32 +196,35 @@ def _xla_equiv(x_hcw, k_hwio, bias, slope, prelu: bool):
         s = slope.astype(y.dtype)
         y = jnp.maximum(y, 0) + s * jnp.minimum(y, 0)
     coutp = channel_pad(cout, x_hcw.dtype)
-    if coutp != cout:
-        y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, coutp - cout)))
+    if coutp != cout or wt != w:
+        y = jnp.pad(
+            y, ((0, 0), (0, 0), (0, 2 * (w - wt)), (0, coutp - cout))
+        )
     return y[0].transpose(0, 2, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def deconv2x_hcw_op(x_hcw, k_hwio, bias, slope, prelu: bool,
-                    interpret: bool):
+                    interpret: bool, w_true: Optional[int] = None):
     """Differentiable HCW deconv2x; k_hwio [2, 2, Cin, Cout] f32."""
     kt = pack_deconv2x_weights(k_hwio, x_hcw.dtype)
     return deconv2x_hcw(
         x_hcw, kt, pad_channel_vec(bias, x_hcw.dtype),
         pad_channel_vec(slope, x_hcw.dtype) if prelu else None,
-        interpret=interpret,
+        w_true=w_true, interpret=interpret,
     )
 
 
-def _op_fwd(x_hcw, k_hwio, bias, slope, prelu, interpret):
-    out = deconv2x_hcw_op(x_hcw, k_hwio, bias, slope, prelu, interpret)
+def _op_fwd(x_hcw, k_hwio, bias, slope, prelu, interpret, w_true):
+    out = deconv2x_hcw_op(x_hcw, k_hwio, bias, slope, prelu, interpret,
+                          w_true)
     return out, (x_hcw, k_hwio, bias, slope)
 
 
-def _op_bwd(prelu, interpret, res, g):
+def _op_bwd(prelu, interpret, w_true, res, g):
     x_hcw, k_hwio, bias, slope = res
     _, vjp = jax.vjp(
-        lambda x, k, b, s: _xla_equiv(x, k, b, s, prelu),
+        lambda x, k, b, s: _xla_equiv(x, k, b, s, prelu, w_true),
         x_hcw, k_hwio, bias, slope,
     )
     return vjp(g)

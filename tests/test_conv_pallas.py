@@ -148,3 +148,59 @@ def test_model_route_skips_infeasible_conv_pair():
 
     out = net.apply(variables, feat, method=run)
     assert out.shape == (1, 16, 640, 389)
+
+
+@pytest.mark.parametrize("W", [160, 240, 333])
+def test_conv3x3_lane_padded_matches_xla(W):
+    """Widths that aren't 128-multiples: lane padding + in-kernel
+    w_true masking must stay exactly equal to the unpadded conv,
+    including through a CHAIN of two kernels (the second reads the
+    first's padded output)."""
+    from atmvfi_tpu.ops.conv_pallas import (
+        conv3x3_hcw_op, hcw_to_nhwc, nhwc_to_hcw,
+    )
+
+    rng = np.random.default_rng(W)
+    B, H, Cin, Cmid, Cout = 1, 16, 8, 8, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, Cin)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, Cin, Cmid)) * 0.2,
+                     jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, Cmid, Cout)) * 0.2,
+                     jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((Cmid,)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    s1 = jnp.asarray(rng.random((Cmid,)) * 0.5, jnp.float32)
+
+    xh = nhwc_to_hcw(x)  # pads lanes to the next 128-multiple
+    yh = conv3x3_hcw_op(xh, k1, b1, s1, H, True, True, W)
+    yh = conv3x3_hcw_op(yh, k2, b2, b2, H, False, True, W)
+    got = hcw_to_nhwc(yh, B, Cout, W)
+    want = _ref_conv(_ref_conv(x, k1, b1, s1), k2, b2, None)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_conv3x3_lane_padded_gradients():
+    from atmvfi_tpu.ops.conv_pallas import conv3x3_hcw_op, nhwc_to_hcw
+
+    rng = np.random.default_rng(5)
+    B, H, W, C = 1, 16, 160, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.random((C,)) * 0.5, jnp.float32)
+
+    def loss_pl(x, k, b, s):
+        y = conv3x3_hcw_op(nhwc_to_hcw(x), k, b, s, H, True, True, W)
+        return jnp.sum(y ** 2)
+
+    def loss_xla(x, k, b, s):
+        return jnp.sum(_ref_conv(x, k, b, s) ** 2)
+
+    gp = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(x, k, b, s)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(x, k, b, s)
+    for a, w in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), atol=5e-3, rtol=1e-3
+        )

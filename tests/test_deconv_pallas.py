@@ -90,3 +90,54 @@ def test_model_deconv_hcw_path_matches_xla():
         np.asarray(out_p["I_t"]), np.asarray(out_x["I_t"]),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_deconv2x_lane_padded_matches_xla():
+    """Half-res width 160 (pads to 256): the deconv's masked output
+    must equal the unpadded ConvTranspose, and a following conv kernel
+    chained on the padded HCW output must also stay exact."""
+    from atmvfi_tpu.ops.conv_pallas import conv3x3_hcw_op
+
+    rng = np.random.default_rng(17)
+    B, H, W, Cin, Cout = 1, 8, 160, 8, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, Cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 2, Cin, Cout)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.random((Cout,)) * 0.5, jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, Cout, Cout)) * 0.2,
+                     jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+
+    xh = nhwc_to_hcw(x)
+    yh = deconv2x_hcw_op(xh, k, b, s, True, True, W)
+    yh = conv3x3_hcw_op(yh, k3, b3, b3, 2 * H, False, True, 2 * W)
+    got = hcw_to_nhwc(yh, B, Cout, 2 * W)
+
+    want = _ref_deconv(x, k, b, s)
+    want = jax.lax.conv_general_dilated(
+        want, k3, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b3
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_model_odd_width_hcw_route_matches_xla():
+    """64x240 lite, conv_impl='pallas': full/half-res stages route
+    through lane-padded HCW kernels; outputs must match the XLA path."""
+    from atmvfi_tpu.models import Network, get_config
+
+    cfg_x = get_config("lite")
+    cfg_p = dataclasses.replace(get_config("lite"), conv_impl="pallas")
+    rng = np.random.default_rng(23)
+    im0 = jnp.asarray(rng.random((1, 64, 240, 3)), jnp.float32)
+    im1 = jnp.asarray(rng.random((1, 64, 240, 3)), jnp.float32)
+    net_x = Network(cfg_x)
+    variables = net_x.init(jax.random.PRNGKey(0), im0, im1)
+    out_x = net_x.apply(variables, im0, im1, global_motion=True)
+    out_p = Network(cfg_p).apply(variables, im0, im1, global_motion=True)
+    np.testing.assert_allclose(
+        np.asarray(out_p["I_t"]), np.asarray(out_x["I_t"]),
+        atol=1e-5, rtol=1e-5,
+    )
