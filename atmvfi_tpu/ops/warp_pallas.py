@@ -166,6 +166,128 @@ def _kernel(ymin_ref, xmin_ref, img_ref, flow_ref, out_ref, slab_ref, sem,
                 out_ref[ch] += acc.astype(out_ref.dtype)
 
 
+def _kernel_v2(ymin_ref, xmin_ref, img_ref, flow_ref, out_ref, slab_ref,
+               sem, *, H, W, C, S, n_tw, dtype):
+    """Span-loop inner structure (v2): instead of statically scanning
+    all 8 sublane offsets of every active q-block (3 rolls + 6 gathers
+    per (ch, q, d) — ~16-24 iterations/ch for typical flows), iterate
+    u over the tile's ACTUAL spread of t = source_row - sublane_index.
+    For smooth flows t is nearly constant across the tile (it's the
+    flow's y-displacement), so the dynamic-bound fori_loop runs only
+    spread+1 (~2-4) iterations/ch; each aligns slab row (u + i) onto
+    sublane i with ONE whole-slab roll (modular, so border tiles where
+    t < 0 wrap and simply never match). Same slab DMA, extents, and
+    exactness semantics as _kernel."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    th = t // n_tw
+    tw = t % n_tw
+
+    def slab_dma(slot, tile):
+        return pltpu.make_async_copy(
+            img_ref.at[
+                :,
+                pl.ds(pl.multiple_of(ymin_ref[tile], TILE_H), S),
+                pl.ds(pl.multiple_of(xmin_ref[tile], TILE_W), 3 * TILE_W),
+            ],
+            slab_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        slab_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        slab_dma((t + 1) % 2, t + 1).start()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    gr = th * TILE_H + rows                     # global output row (B*H space)
+    b = gr // H
+    y_img = gr - b * H
+    x = tw * TILE_W + cols
+
+    fx = flow_ref[:, :, 0]
+    fy = flow_ref[:, :, 1]
+    sx = x.astype(jnp.float32) + fx
+    sy = y_img.astype(jnp.float32) + fy
+    x0f = jnp.floor(sx)
+    y0f = jnp.floor(sy)
+    wx = sx - x0f
+    wy = sy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    def valid(xi, yi):
+        return ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)).astype(
+            jnp.float32
+        )
+
+    w00 = (1 - wx) * (1 - wy) * valid(x0, y0)
+    w01 = wx * (1 - wy) * valid(x0 + 1, y0)
+    w10 = (1 - wx) * wy * valid(x0, y0 + 1)
+    w11 = wx * wy * valid(x0 + 1, y0 + 1)
+
+    # slab-relative coordinates (independent per-tap clipping, see
+    # _kernel)
+    base = b * H - ymin_ref[t]
+    r_top = jnp.clip(jnp.clip(y0, 0, H - 1) + base, 0, S - 1)
+    r_bot = jnp.clip(jnp.clip(y0 + 1, 0, H - 1) + base, 0, S - 1)
+    c0 = jnp.clip(jnp.clip(x0, 0, W - 1) - xmin_ref[t], 0, 3 * TILE_W - 1)
+    c1 = jnp.clip(jnp.clip(x0 + 1, 0, W - 1) - xmin_ref[t], 0, 3 * TILE_W - 1)
+
+    def page_coords(c):
+        page1 = (c >= TILE_W) & (c < 2 * TILE_W)
+        page2 = c >= 2 * TILE_W
+        cp = jnp.where(page1, c - TILE_W,
+                       jnp.where(page2, c - 2 * TILE_W, c))
+        return page1, page2, jnp.clip(cp, 0, TILE_W - 1)
+
+    p1_0, p2_0, cp0 = page_coords(c0)
+    p1_1, p2_1, cp1 = page_coords(c1)
+
+    slab_dma(t % 2, t).wait()
+    slot = t % 2
+
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    t_top = r_top - iota_i                      # [-7, S-1]
+    t_bot = r_bot - iota_i
+    u_lo = jnp.min(t_top)
+    n_u = jnp.max(t_bot) - u_lo + 1             # dynamic trip count
+
+    for ch in range(C):
+        def body(u, acc, ch=ch):
+            start = u_lo + u                    # may be negative: wraps
+            shift = (-start) % S                # roll so slab[start+i]->sublane i
+            rolled = pltpu.roll(slab_ref[slot, ch], shift, 0)[:TILE_H]
+            rows_a = rolled[:, :TILE_W]
+            rows_b = rolled[:, TILE_W : 2 * TILE_W]
+            rows_c = rolled[:, 2 * TILE_W :]
+
+            def gather3(p1, p2, cp):
+                g = jnp.take_along_axis(rows_a, cp, axis=1)
+                g = jnp.where(
+                    p1, jnp.take_along_axis(rows_b, cp, axis=1), g
+                )
+                return jnp.where(
+                    p2, jnp.take_along_axis(rows_c, cp, axis=1), g
+                )
+
+            g0 = gather3(p1_0, p2_0, cp0)
+            g1 = gather3(p1_1, p2_1, cp1)
+            top = (t_top == start).astype(jnp.float32)
+            bot = (t_bot == start).astype(jnp.float32)
+            acc = acc + top * (w00 * g0 + w01 * g1)
+            return acc + bot * (w10 * g0 + w11 * g1)
+
+        acc = jax.lax.fori_loop(
+            0, n_u, body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        )
+        out_ref[ch] = acc.astype(out_ref.dtype)
+
+
 def _kernel_blend(ymin0_ref, xmin0_ref, ymin1_ref, xmin1_ref,
                   img0_ref, img1_ref, flow_ref, out_ref, slab_ref, acc_ref,
                   sem, *, H, W, C, S, n_tw):
@@ -564,6 +686,10 @@ def resolve_warp_impl(impl: str, channels: int) -> Tuple[str, bool]:
         # serving mode: skip the per-call exactness cond (see
         # flow_warp_tiled unchecked=True) — cfg.fast() plumbs this
         return "chw_unchecked", jax.default_backend() != "tpu"
+    if impl == "tiled_v2":
+        return "chw_v2", jax.default_backend() != "tpu"
+    if impl == "tiled_v2_unchecked":
+        return "chw_v2_unchecked", jax.default_backend() != "tpu"
     if impl == "tiled_nhwc":
         return "nhwc", jax.default_backend() != "tpu"
     if impl == "xla":
@@ -578,7 +704,9 @@ def _tiled_warp(feature, flow, kernel: str, interpret: bool):
     if kernel == "nhwc":
         return flow_warp_tiled_nhwc(feature, flow, interpret=interpret)
     return flow_warp_tiled(feature, flow, interpret=interpret,
-                           unchecked=kernel == "chw_unchecked")
+                           unchecked=kernel.endswith("unchecked"),
+                           inner="span" if kernel.startswith("chw_v2")
+                           else "scan")
 
 
 def _tiled_warp_fwd(feature, flow, kernel, interpret):
@@ -610,12 +738,13 @@ def _tile_minmax(v, n_th, n_tw):
 
 
 def _pallas_path(img_chw, flow, ymin_blk, xmin_blk, *, H, W, C, S, B, dtype,
-                 interpret=False):
+                 interpret=False, inner="scan"):
     BH = B * H
     n_th, n_tw = BH // TILE_H, W // TILE_W
     n_t = n_th * n_tw
     kernel = functools.partial(
-        _kernel, H=H, W=W, C=C, S=S, n_tw=n_tw, dtype=dtype
+        _kernel_v2 if inner == "span" else _kernel,
+        H=H, W=W, C=C, S=S, n_tw=n_tw, dtype=dtype
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # ymin_blk (8-row units), xmin_blk (pages)
@@ -679,7 +808,8 @@ def _slab_extents(flow: jnp.ndarray, B: int, H: int, W: int, S: int):
 
 def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
                     slab_rows: int = 64, interpret: bool = False,
-                    unchecked: bool = False) -> jnp.ndarray:
+                    unchecked: bool = False,
+                    inner: str = "scan") -> jnp.ndarray:
     """Exact flow_warp (ops.warp semantics) via the tile-slab kernel.
 
     feature: [B, H, W, C]; flow: [B, H, W, 2] (x, y). Requires
@@ -712,7 +842,7 @@ def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
         return _pallas_path(
             img_chw, flow_f, ymin_blk.reshape(-1), xmin_blk.reshape(-1),
             H=H, W=W, C=C, S=S, B=B, dtype=jnp.float32,
-            interpret=interpret,
+            interpret=interpret, inner=inner,
         )
 
     def slow(args):

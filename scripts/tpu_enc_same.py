@@ -23,9 +23,14 @@ CSE across flax/manual variants.
 
 The worst cell also prints a (row-band x lane-tile) localization map.
 """
+import os
 import sys
 
 import jax
+
+if os.environ.get("SMALL") == "1":  # CPU smoke: tiny shapes, cpu backend
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -35,7 +40,10 @@ sys.path.insert(0, "/root/repo")
 from atmvfi_tpu.models import Network, get_config
 from atmvfi_tpu.ops import conv_pallas as cp
 
-B, H, W, C0 = 2, 1088, 2560, 3
+if os.environ.get("SMALL") == "1":
+    B, H, W, C0 = 2, 136, 256, 3
+else:
+    B, H, W, C0 = 2, 1088, 2560, 3
 
 
 def xla_chain(x, p1, p2):
@@ -73,7 +81,7 @@ def stats(y, ref):
     d = jnp.abs(y - ref)
     # coarse (row-band, lane-half) localization map
     dm = d.max(axis=-1).reshape(B * H // 8, 8, 2, W // 2).max(axis=(1, 3))
-    loc = dm.reshape(34, 8, 2).max(axis=1)  # [34 bands, 2 lane tiles]
+    loc = dm.reshape(34, (B * H // 8) // 34, 2).max(axis=1)  # [34, 2]
     return jnp.max(d), jnp.mean(d), loc
 
 
@@ -106,6 +114,19 @@ def main():
             jax.random.PRNGKey(7), (B, H, W, C0), jnp.float32
         )
 
+    def c0(v, x):
+        """Kernel-free: fused pad+reshape+transpose (nhwc_to_hcw) vs a
+        barrier-split equivalent on the SAME arg — catches an XLA-side
+        miscompile of the entry layout change without Pallas."""
+        y1 = cp.nhwc_to_hcw(x)
+        xp = jax.lax.optimization_barrier(
+            jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 5)))
+        )
+        y2 = xp.reshape(B * H, W, 8).transpose(0, 2, 1)
+        d = jnp.abs(y1 - y2)
+        loc = d.max(axis=(1, 2)).reshape(34, -1).max(axis=1)
+        return jnp.max(d), jnp.mean(d), jnp.stack([loc, loc], -1)
+
     def c1(v, x):
         p1, p2 = enc_params(v)
         xi = gen_x(v)
@@ -131,6 +152,7 @@ def main():
 
     worst = None
     for tag, fn in [
+        ("c0 hcw-entry fused vs split", c0),
         ("c1 manual in-jit ", c1),
         ("c2 manual arg    ", c2),
         ("c3 flax   in-jit ", c3),

@@ -44,6 +44,38 @@ def test_tiled_matches_xla(name, B, H, W, C, mag):
     "name,B,H,W,C,mag",
     [
         ("smooth", 1, 64, 384, 3, 4.0),
+        ("edges", 1, 64, 384, 3, 30.0),  # taps off-image + negative t
+        ("batch", 2, 64, 384, 2, 3.0),   # cross-image rows in B*H space
+        ("big", 1, 128, 512, 3, 9.0),
+    ],
+)
+def test_tiled_v2_matches_xla(name, B, H, W, C, mag):
+    """Span-loop (v2) kernel: dynamic-trip-count inner loop, modular
+    whole-slab rolls. Bit-compatible with ops.warp semantics."""
+    rng = np.random.default_rng(2)
+    feat = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    flow = _smooth_flow(B, H, W, mag, seed=hash(name) % 100)
+    got = flow_warp_tiled(feat, flow, slab_rows=64, interpret=True,
+                          inner="span")
+    want = warp_xla.flow_warp(feat, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_tiled_v2_fallback_on_rough_flow():
+    rng = np.random.default_rng(3)
+    feat = jnp.asarray(rng.random((1, 128, 384, 3)), jnp.float32)
+    flow = jnp.asarray(
+        rng.standard_normal((1, 128, 384, 2)) * 200.0, jnp.float32
+    )  # spread far beyond the slab -> exactness cond takes the XLA path
+    got = flow_warp_tiled(feat, flow, interpret=True, inner="span")
+    want = warp_xla.flow_warp(feat, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "name,B,H,W,C,mag",
+    [
+        ("smooth", 1, 64, 384, 3, 4.0),
         ("edges", 1, 64, 384, 3, 30.0),  # pushes taps off-image
         ("batch", 2, 64, 384, 2, 3.0),
         ("c1", 1, 64, 512, 1, 5.0),      # flow-like single channel
