@@ -97,6 +97,10 @@ def test_demo_video_y4m_end_to_end(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # drop /root/.axon_site: its sitecustomize registers the axon TPU
+    # backend in the subprocess regardless of JAX_PLATFORMS, and the
+    # device claim hangs CI when the relay is down (this is a CPU test)
+    env["PYTHONPATH"] = repo
     res = subprocess.run(
         [sys.executable, os.path.join(repo, "cli", "demo_2x.py"),
          "--model_type", "lite", "--global_off", "--fp32",
