@@ -248,6 +248,44 @@ def p5_dynamic_roll_in_fori():
     return "exact"
 
 
+def p7_plane_dma_into_sublane_slice():
+    """Planar-image conv route precondition: DMA separate [BH, W] HBM
+    planes into fixed-middle-index sublane slices of a [rows, C, W]
+    VMEM scratch (so C=3 images can feed the HCW conv kernel without
+    ever materializing an NHWC->HCW transpose)."""
+
+    def kernel(a_ref, b_ref, o_ref, scratch, sem):
+        cp0 = pltpu.make_async_copy(
+            a_ref.at[pl.ds(0, 8), :], scratch.at[:, 0, :], sem.at[0]
+        )
+        cp1 = pltpu.make_async_copy(
+            b_ref.at[pl.ds(0, 8), :], scratch.at[:, 1, :], sem.at[1]
+        )
+        cp0.start()
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
+        o_ref[0] = scratch[:, 0, :]
+        o_ref[1] = scratch[:, 1, :]
+
+    a = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    b = -jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((2, 8, 128), lambda: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 8, 128), jnp.float32),
+        grid=(),
+        scratch_shapes=[pltpu.VMEM((8, 8, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )(a, b)
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(a))
+    np.testing.assert_allclose(np.asarray(out)[1], np.asarray(b))
+    return "exact"
+
+
 def main():
     print(f"device: {jax.devices()[0]}", flush=True)
     run("p1 dynamic fori_loop trip count", p1_dynamic_fori)
@@ -257,6 +295,7 @@ def main():
     run("p4b UNALIGNED dynamic sublane ds", p4b_unaligned_dynamic_sublane_ds)
     run("p5 dynamic roll inside fori     ", p5_dynamic_roll_in_fori)
     run("p6 composite v2 inner loop      ", p6_v2_inner_loop)
+    run("p7 plane DMA into sublane slice ", p7_plane_dma_into_sublane_slice)
 
 
 if __name__ == "__main__":

@@ -60,10 +60,11 @@ def xla_chain(x, p1, p2):
 
 
 def manual_chain(x, p1, p2):
+    interp = jax.default_backend() != "tpu"  # CPU smoke only
     (k1, b1, s1), (k2, b2, s2) = p1, p2
     xh = cp.nhwc_to_hcw(x)
-    xh = cp.conv3x3_hcw_op(xh, k1, b1, s1, H, True, False)
-    xh = cp.conv3x3_hcw_op(xh, k2, b2, s2, H, True, False)
+    xh = cp.conv3x3_hcw_op(xh, k1, b1, s1, H, True, interp)
+    xh = cp.conv3x3_hcw_op(xh, k2, b2, s2, H, True, interp)
     return cp.hcw_to_nhwc(xh, B, k2.shape[-1])
 
 
@@ -88,6 +89,10 @@ def stats(y, ref):
 def main():
     print("backend:", jax.default_backend(), flush=True)
     cfg = get_config("base", dtype=jnp.float32)
+    if jax.default_backend() != "tpu":  # CPU smoke: interpret-mode route
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, conv_impl="pallas")
     net = Network(cfg)
     var = jax.jit(
         lambda k: net.init(
