@@ -46,6 +46,15 @@ class ATMVFIConfig:
     # final flows instead (one resampling instead of two). Saves two
     # full-res warps/frame; deviation measured in PERF_NOTES. Opt-in.
     compose_full_res_warps: bool = False
+    # planar full-res tail: keep scale-0 activations in the Pallas
+    # kernels' native layouts end-to-end (decoder feat HCW, images
+    # planar [C, B*H, W], refiner proj ingests image planes via DMA) —
+    # removes every full-res NHWC<->HCW transpose between the
+    # pre-align warp and the refine head. "off" | "on" (forced; tests
+    # run it in interpret mode) | "auto" (on when the HCW conv route
+    # and tiled warp kernel are active). Default off until the Mosaic
+    # path is hardware-validated (relay outage at build time).
+    tail_planar: str = "off"
 
     def fast(self) -> "ATMVFIConfig":
         """Serving profile: unchecked slab warps + composed full-res

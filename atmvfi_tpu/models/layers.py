@@ -84,11 +84,20 @@ class ConvPReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, hcw: Optional[tuple] = None,
-                 interpret: bool = False):
+                 interpret: bool = False,
+                 planes: Optional[jnp.ndarray] = None,
+                 cf_true: Optional[int] = None):
         """NHWC XLA path by default. With `hcw=(cin_true, H)` (static),
         x is HCW [B*H, pad8(cin_true), W] and the fused Pallas
         conv+bias+PReLU kernel runs (stride/dilation 1 only); padded
-        channels stay exactly zero (pack_conv3x3_weights_padded)."""
+        channels stay exactly zero (pack_conv3x3_weights_padded).
+
+        With `planes` ([NP, B*H, W] planar image stack) additionally
+        given, the input channel space is [HCW feat ‖ planes] and the
+        planes DMA straight into the kernel's slab (the refiner proj's
+        full-res image inputs never pay an NHWC->HCW transpose);
+        cf_true is the number of true feat channels, hcw[0] the TOTAL
+        true cin (feat + planes)."""
         from atmvfi_tpu.ops import conv_pallas as cp
 
         cin = hcw[0] if hcw is not None else x.shape[-1]
@@ -102,6 +111,11 @@ class ConvPReLU(nn.Module):
                 self.kernel == 3 and self.stride == 1 and self.dilation == 1
             )
             wt = hcw[2] if len(hcw) > 2 else None
+            if planes is not None:
+                return cp.conv3x3_hcw_planes_op(
+                    x.astype(self.dtype), planes, k, b, alpha, hcw[1],
+                    cf_true, True, interpret, wt,
+                )
             return cp.conv3x3_hcw_op(
                 x.astype(self.dtype), k, b, alpha, hcw[1], True, interpret,
                 wt,

@@ -272,7 +272,7 @@ class Network(nn.Module):
         occ1 = jax.nn.sigmoid(out_f[..., 4:5])
         return flow0, flow1, occ1
 
-    def _decoder_stage(self, stage, feat):
+    def _decoder_stage(self, stage, feat, want_hcw: bool = False):
         """One decoder stage [PReLU?, Deconv2x, ConvPReLU, PlainConv].
 
         Preferred route: HCW end to end — the Pallas deconv emits
@@ -282,6 +282,12 @@ class Network(nn.Module):
         mask reads/writes beyond the true width (exact — see
         conv3x3_hcw). Falls back to deconv-in-XLA + _conv_pair_hcw,
         then all-XLA.
+
+        want_hcw=True (the planar full-res tail, scale 0): when the HCW
+        route is taken, return `(xh, w_out_true)` WITHOUT the exit
+        transpose — the refiner proj consumes the HCW activations and
+        the motion channels are sliced planar. Callers must handle the
+        NHWC fallback return.
         """
         from atmvfi_tpu.ops import conv_pallas as cp
         from atmvfi_tpu.ops import deconv_pallas as dp
@@ -309,6 +315,8 @@ class Network(nn.Module):
                         interpret=interp)
             xh = conv_b(xh, hcw=(conv_a.features, 2 * h, 2 * w),
                         interpret=interp)
+            if want_hcw:
+                return xh, 2 * w
             return cp.hcw_to_nhwc(xh, B, conv_b.features, 2 * w)
         feat = deconv(feat)
         return self._conv_pair_hcw(conv_a, conv_b, feat)
@@ -342,6 +350,84 @@ class Network(nn.Module):
         xh = conv_b(xh, hcw=(conv_a.features, H, W), interpret=interp)
         return cp.hcw_to_nhwc(xh, B, conv_b.features, W)
 
+    def _planar_tail_on(self, H: int, W: int) -> bool:
+        """Static gate for the planar full-res tail (cfg.tail_planar):
+        decoder scale-0 feat stays HCW, images/blends stay in the warp
+        kernel's planar [C, B*H, W] layout, and the refiner proj
+        ingests image planes via DMA — no full-res NHWC<->HCW
+        transposes anywhere between the pre-align warp and the refine
+        head. 'auto' requires both the HCW conv route and the tiled
+        warp kernel to be active for full-res shapes."""
+        from atmvfi_tpu.ops import conv_pallas as cp
+        from atmvfi_tpu.ops.warp_pallas import resolve_warp_impl
+
+        mode = self.cfg.tail_planar
+        if mode == "off" or not _hcw_route_on("tail"):
+            return False
+        kernel, _ = resolve_warp_impl(
+            "tiled" if self.cfg.warp_impl == "auto" and mode == "on"
+            else self.cfg.warp_impl, 3,
+        )
+        if kernel in ("xla", "nhwc"):
+            return False
+        if H % 8 or W % 128 or W < 384 or H < 64:
+            return False
+        use, _ = cp.resolve_conv_impl(self.cfg.conv_impl, (1, H, W, 16))
+        return bool(use)
+
+    def _planar_scale0(self, feat_hcw, w_out, B, p0, p1, im0, im1,
+                       compose_flows, skips):
+        """Scale-0 decoder tail in planar layout.
+
+        feat_hcw: [B*H, pad(fd3+mo), Wp] from the decoder's HCW route;
+        p0/p1: scale-0 images — planar [3, B*H, W] when the pre-align
+        leg produced them, NHWC otherwise; im0/im1: the ORIGINAL frames
+        (refiner inputs, reference network_base.py:530). Returns
+        (I_t, I_t_0, I_t_1, flow0, flow1, occ1, residual) with I_t*,
+        flow*, occ1 in NHWC for the output dict (lazy views — the
+        serving jit that only consumes I_t DCEs the others)."""
+        from atmvfi_tpu.ops.warp_pallas import (
+            flow_warp_planar_dispatch,
+            nhwc_to_planar,
+            planar_to_nhwc,
+        )
+
+        c = self.cfg
+        mo = c.motion_out_dim
+        fd3 = c.decoder_dims[2]
+        BH, _, Wp = feat_hcw.shape
+        H = BH // B
+        m = feat_hcw[:, fd3 : fd3 + mo, :w_out].astype(jnp.float32)
+        flow0 = jnp.stack([m[:, 0], m[:, 1]], -1).reshape(B, H, w_out, 2)
+        flow1 = jnp.stack([m[:, 2], m[:, 3]], -1).reshape(B, H, w_out, 2)
+        if compose_flows is not None:
+            flow0 = flow0 + compose_flows[0]
+            flow1 = flow1 + compose_flows[1]
+        occ_pl = jax.nn.sigmoid(m[:, 4])  # [B*H, w]
+        if p0.ndim != 3:
+            p0 = nhwc_to_planar(p0)
+            p1 = nhwc_to_planar(p1)
+        w0p = flow_warp_planar_dispatch(p0, flow0, B, c.warp_impl)
+        w1p = flow_warp_planar_dispatch(p1, flow1, B, c.warp_impl)
+        I_tp = occ_pl[None] * w0p + (1.0 - occ_pl[None]) * w1p
+
+        planes15 = jnp.concatenate(
+            [nhwc_to_planar(im0), w0p, nhwc_to_planar(im1), w1p, I_tp],
+            axis=0,
+        )
+        if Wp != w_out:
+            planes15 = jnp.pad(
+                planes15, ((0, 0), (0, 0), (0, Wp - w_out))
+            )
+        residual = self.residual_refinement_planar(
+            feat_hcw, fd3 + mo, w_out, B, planes15, skips
+        )
+        I_t = planar_to_nhwc(I_tp, B)
+        I_t_0 = planar_to_nhwc(w0p, B)
+        I_t_1 = planar_to_nhwc(w1p, B)
+        occ1 = occ_pl.reshape(B, H, w_out, 1)
+        return I_t, I_t_0, I_t_1, flow0, flow1, occ1, residual
+
     def residual_refinement(self, feat, im0, I_t_0, im1, I_t_1, I_t, skips):
         from atmvfi_tpu.ops import conv_pallas as cp
         from atmvfi_tpu.ops import deconv_pallas as dp
@@ -367,6 +453,58 @@ class Network(nn.Module):
             feat0 = cp.hcw_to_nhwc(xh, B, self.refine_proj.features, W)
         else:
             feat0 = self.refine_proj(cat0)
+        return self._refine_core(feat0, skips)
+
+    def residual_refinement_planar(self, feat_hcw, cf_true, w_true, B,
+                                   planes15, skips):
+        """Planar-tail refiner entry: feat arrives HCW straight from the
+        decoder stage (no exit transpose) and the 15 image channels
+        ([im0, I_t_0, im1, I_t_1, I_t] planes, [15, B*H, Wp] f32) DMA
+        directly into the proj conv's slab (conv3x3_hcw_planes_op) —
+        the reference's refiner input concat (network_base.py:417-431)
+        without any full-res NHWC<->HCW transposes."""
+        from atmvfi_tpu.ops import conv_pallas as cp
+
+        dt = self.cfg.dtype
+        BH, cfp, Wp = feat_hcw.shape
+        H = BH // B
+        cin_total = cf_true + planes15.shape[0]
+        hid = self.refine_proj.features
+        use, interp = cp.resolve_conv_impl(
+            self.cfg.conv_impl, (B, H, w_true, cin_total)
+        )
+        use = (
+            use and _hcw_route_on("proj")
+            and cp.hcw_channels_profitable([(cin_total, hid)], dt)
+            and cp.conv_run_fits(Wp, [(cin_total, hid)], dt)
+        )
+        if use:
+            xh = self.refine_proj(
+                feat_hcw, hcw=(cin_total, H, w_true), interpret=interp,
+                planes=planes15, cf_true=cf_true,
+            )
+            feat0 = cp.hcw_to_nhwc(xh, B, hid, w_true)
+        else:
+            # fall back to the NHWC concat path (pays the transposes)
+            from atmvfi_tpu.ops.warp_pallas import planar_to_nhwc
+
+            feat = cp.hcw_to_nhwc(feat_hcw, B, cf_true, w_true)
+            imgs = [
+                planar_to_nhwc(planes15[3 * i : 3 * i + 3, :, :w_true], B,
+                               dtype=dt)
+                for i in range(5)
+            ]
+            feat0 = self.refine_proj(
+                jnp.concatenate([feat] + imgs, axis=-1)
+            )
+        return self._refine_core(feat0, skips)
+
+    def _refine_core(self, feat0, skips):
+        from atmvfi_tpu.ops import conv_pallas as cp
+        from atmvfi_tpu.ops import deconv_pallas as dp
+
+        dt = self.cfg.dtype
+        B, H, W = feat0.shape[0], feat0.shape[1], feat0.shape[2]
         feat1 = _seq(self.down1, feat0)
         feat2 = _seq(self.down2, jnp.concatenate([feat1, skips[1]], axis=-1))
         feat3 = _seq(self.down3, jnp.concatenate([feat2, skips[0]], axis=-1))
@@ -475,6 +613,7 @@ class Network(nn.Module):
         im0 = im0.astype(jnp.float32)
         im1 = im1.astype(jnp.float32)
         B = im0.shape[0]
+        planar_tail = self._planar_tail_on(im0.shape[1], im0.shape[2])
 
         im0_list: List[jnp.ndarray] = [im0]
         im1_list: List[jnp.ndarray] = [im1]
@@ -519,6 +658,22 @@ class Network(nn.Module):
                     # flow at the locally-displaced position)
                     gf0_full, gf1_full = gf0, gf1
                     continue
+                if i == 0 and planar_tail:
+                    # planar tail: the full-res pre-align warp emits the
+                    # kernel's native [C, B*H, W] layout; the scale-0
+                    # blend warps consume it with no transposes between
+                    from atmvfi_tpu.ops.warp_pallas import (
+                        flow_warp_planar_dispatch,
+                        nhwc_to_planar,
+                    )
+
+                    im0_list[0] = flow_warp_planar_dispatch(
+                        nhwc_to_planar(im0_list[0]), gf0, B, c.warp_impl
+                    )
+                    im1_list[0] = flow_warp_planar_dispatch(
+                        nhwc_to_planar(im1_list[0]), gf1, B, c.warp_impl
+                    )
+                    continue
                 im0_list[i] = self._warp(im0_list[i], gf0)
                 im1_list[i] = self._warp(im1_list[i], gf1)
                 if i != 0:
@@ -550,10 +705,35 @@ class Network(nn.Module):
 
         skips = []
         mo = c.motion_out_dim
+        planar_done = False
         for stage, scale in zip(
             (self.upsample0, self.upsample1, self.upsample2), (2, 1, 0)
         ):
-            feat = self._decoder_stage(stage, feat)
+            if scale == 0 and planar_tail:
+                res = self._decoder_stage(stage, feat, want_hcw=True)
+                if isinstance(res, tuple):
+                    feat_hcw, w_out = res
+                    (I_t, I_t_0, I_t_1, flow0, flow1, occ1,
+                     residual) = self._planar_scale0(
+                        feat_hcw, w_out, B, im0_list[0], im1_list[0],
+                        im0, im1,
+                        (gf0_full, gf1_full) if compose_full else None,
+                        skips,
+                    )
+                    im0_warped_list.insert(0, I_t_0)
+                    im1_warped_list.insert(0, I_t_1)
+                    im_t_list.insert(0, I_t)
+                    planar_done = True
+                    break
+                # decoder route refused this shape: recover NHWC images
+                from atmvfi_tpu.ops.warp_pallas import planar_to_nhwc
+
+                if im0_list[0].ndim == 3:  # planar from the pre-align leg
+                    im0_list[0] = planar_to_nhwc(im0_list[0], B)
+                    im1_list[0] = planar_to_nhwc(im1_list[0], B)
+                feat = res
+            else:
+                feat = self._decoder_stage(stage, feat)
             out = feat[..., -mo:]
             out_f = out.astype(jnp.float32)
             flow0 = out_f[..., 0:2]
@@ -571,9 +751,10 @@ class Network(nn.Module):
             im1_warped_list.insert(0, I_t_1)
             im_t_list.insert(0, I_t)
 
-        residual = self.residual_refinement(
-            feat, im0, I_t_0, im1, I_t_1, I_t, skips
-        )
+        if not planar_done:
+            residual = self.residual_refinement(
+                feat, im0, I_t_0, im1, I_t_1, I_t, skips
+            )
         I_t = jnp.clip(I_t + residual.astype(jnp.float32), 0.0, 1.0)
 
         return {

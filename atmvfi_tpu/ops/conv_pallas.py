@@ -298,6 +298,299 @@ def conv3x3_hcw(x: jnp.ndarray, kt, bias: jnp.ndarray,
       bias.astype(jnp.float32), slope.astype(jnp.float32))
 
 
+def _kernel_planes(x_ref, planes_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref,
+                   slope_ref, out_ref, slab_ref, sem,
+                   *, BH, H, W, Wt, Cf, Cin, Cout, TW, CHUNK, n_wt, prelu,
+                   out_dtype, precision):
+    """conv3x3 over [HCW feat ‖ planar images]: the feat part DMAs like
+    _kernel into slab channels [0, Cf); each image PLANE [BH, W] DMAs
+    into one slab sublane slice (channel Cf+p) — so C=3 images feed the
+    conv without ever materializing an NHWC->HCW transpose (the refiner
+    proj consumes five of them at full resolution). planes_ref must
+    hold Cin - Cf planes (zero-padded stack), so every slab channel is
+    DMA-written."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    rb = t // n_wt
+    wt = t % n_wt
+    NP = Cin - Cf
+
+    def transfer(slot, tile, start):
+        trb = tile // n_wt
+        twt = tile % n_wt
+        row_start = jnp.clip(trb * ROWS - 1, 0, BH - 10)
+
+        def go(cp):
+            cp.start() if start else cp.wait()
+
+        def issue(col_src, col_dst, width):
+            go(pltpu.make_async_copy(
+                x_ref.at[pl.ds(row_start, 10), :, pl.ds(col_src, width)],
+                slab_ref.at[slot, :, pl.ds(0, Cf), pl.ds(col_dst, width)],
+                sem.at[slot, 0],
+            ))
+            for p in range(NP):
+                go(pltpu.make_async_copy(
+                    planes_ref.at[p, pl.ds(row_start, 10),
+                                  pl.ds(col_src, width)],
+                    slab_ref.at[slot, :, Cf + p, pl.ds(col_dst, width)],
+                    sem.at[slot, 1 + p],
+                ))
+
+        if n_wt == 1:
+            issue(0, LANE, W)
+            return
+        first = twt == 0
+        last = twt == n_wt - 1
+        interior = jnp.logical_not(first | last)
+
+        @pl.when(interior)
+        def _():
+            issue(pl.multiple_of(twt * TW - LANE, LANE), 0, TW + 2 * LANE)
+
+        @pl.when(first)
+        def _():
+            issue(0, LANE, TW + LANE)
+
+        @pl.when(last)
+        def _():
+            issue(pl.multiple_of(twt * TW - LANE, LANE), 0, TW + LANE)
+
+    @pl.when(t == 0)
+    def _():
+        transfer(0, 0, start=True)
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        transfer((t + 1) % 2, t + 1, start=True)
+
+    slot = t % 2
+    transfer(slot, t, start=False)
+
+    w0 = wt * TW
+    row_start = jnp.clip(rb * ROWS - 1, 0, BH - 10)
+    EXT = TW + 2 * LANE
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, EXT), 1)
+    x_full = w0 - LANE + lane_iota
+    lane_ok = (x_full >= 0) & (x_full <= Wt - 1)
+
+    def row_for(r, dy):
+        gy = rb * ROWS + r
+        gy_img = gy % H
+        idx = jnp.clip(gy + dy - 1 - row_start, 0, 9)
+        vrow = (gy_img + dy - 1 >= 0) & (gy_img + dy - 1 <= H - 1)
+        row = slab_ref[slot, idx]                # [Cin, EXT]
+        return jnp.where(vrow & lane_ok, row, jnp.zeros_like(row))
+
+    for c0 in range(0, ROWS, CHUNK):
+        amat = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [row_for(r, dy) for dy in range(3)], axis=0
+                )
+                for r in range(c0, c0 + CHUNK)
+            ],
+            axis=1,
+        )  # [3Cin, CHUNK*EXT]
+        ms = []
+        for kt_ref in (kt0_ref, kt1_ref, kt2_ref):
+            ms.append(jax.lax.dot_general(
+                kt_ref[...], amat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ))  # [Cout, CHUNK*EXT] f32
+        for j in range(CHUNK):
+            base = j * EXT + LANE
+            y = (
+                ms[0][:, base - 1 : base - 1 + TW]
+                + ms[1][:, base : base + TW]
+                + ms[2][:, base + 1 : base + 1 + TW]
+            )
+            y = y + bias_ref[...].reshape(Cout, 1)
+            if prelu:
+                sl = slope_ref[...].reshape(Cout, 1)
+                y = jnp.maximum(y, 0.0) + sl * jnp.minimum(y, 0.0)
+            if Wt < W:
+                out_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, TW), 1
+                )
+                y = jnp.where(w0 + out_iota < Wt, y, 0.0)
+            out_ref[c0 + j] = y.astype(out_dtype)
+
+
+def pack_conv3x3_weights_split(k_hwio: jnp.ndarray, cf_true: int,
+                               act_dtype=jnp.float32):
+    """HWIO [3, 3, cf_true + np_true, Cout] whose input channels are
+    ordered [feat ‖ planes] -> per-dx packed triple laid out for the
+    planes kernel's slab: feat weights at channels [0, cf_true), zeros
+    to channel_pad(cf_true), plane weights right after, zeros to the
+    padded total. Returns (kt_triple, cin_pad, cf_pad)."""
+    kh, kw, cin, cout = k_hwio.shape
+    assert kh == 3 and kw == 3 and 0 < cf_true <= cin
+    np_true = cin - cf_true
+    cf_pad = channel_pad(cf_true, act_dtype)
+    cin_pad = channel_pad(cf_pad + np_true, act_dtype)
+    coutp = channel_pad(cout, act_dtype)
+    k_eff = jnp.zeros((3, 3, cin_pad, coutp), k_hwio.dtype)
+    k_eff = k_eff.at[:, :, :cf_true, :cout].set(k_hwio[:, :, :cf_true])
+    k_eff = k_eff.at[:, :, cf_pad : cf_pad + np_true, :cout].set(
+        k_hwio[:, :, cf_true:]
+    )
+    return pack_conv3x3_weights(k_eff), cin_pad, cf_pad
+
+
+def pad_plane_stack(planes: jnp.ndarray, np_pad: int) -> jnp.ndarray:
+    """[NP, BH, W] -> [np_pad, BH, W] with zero planes appended, so the
+    planes kernel DMA-writes every slab channel (uninitialized VMEM
+    could hold NaN patterns that survive 0-weight matmuls)."""
+    extra = np_pad - planes.shape[0]
+    assert extra >= 0
+    if extra == 0:
+        return planes
+    return jnp.concatenate(
+        [planes, jnp.zeros((extra,) + planes.shape[1:], planes.dtype)],
+        axis=0,
+    )
+
+
+def conv3x3_hcw_planes(x_hcw: jnp.ndarray, planes: jnp.ndarray, kt,
+                       bias: jnp.ndarray, slope: Optional[jnp.ndarray],
+                       H: int, w_true: Optional[int] = None,
+                       interpret: bool = False) -> jnp.ndarray:
+    """conv3x3+bias(+PReLU) over [HCW feat ‖ image planes].
+
+    x_hcw: [B*H, Cf_pad, W]; planes: [NP, B*H, W] zero-padded stack
+    with Cf_pad + NP == Cin_pad (pad_plane_stack); kt from
+    pack_conv3x3_weights_split. Same constraints as conv3x3_hcw.
+    """
+    BH, Cf, W = x_hcw.shape
+    NP = planes.shape[0]
+    Cin = Cf + NP
+    kt0, kt1, kt2 = kt
+    Cout = kt0.shape[0]
+    assert kt0.shape[1] == 3 * Cin, (kt0.shape, Cin)
+    assert planes.shape[1:] == (BH, W)
+    wt = W if w_true is None else w_true
+    gran = 16 if x_hcw.dtype.itemsize == 2 else 8
+    assert BH % ROWS == 0 and W % LANE == 0 and BH >= 16
+    assert 0 < wt <= W
+    assert Cf % gran == 0 and Cin % gran == 0 and Cout % gran == 0
+    TW, chunk = _pick_plan(W, Cin, Cout, x_hcw.dtype.itemsize)
+    n_rb, n_wt = BH // ROWS, W // TW
+    kernel = functools.partial(
+        _kernel_planes, BH=BH, H=H, W=W, Wt=wt, Cf=Cf, Cin=Cin, Cout=Cout,
+        TW=TW, CHUNK=chunk, n_wt=n_wt, prelu=slope is not None,
+        out_dtype=x_hcw.dtype,
+        precision=(jax.lax.Precision.HIGHEST
+                   if x_hcw.dtype == jnp.float32 else None),
+    )
+    if slope is None:
+        slope = jnp.zeros((Cout,), jnp.float32)
+    wspec = pl.BlockSpec((Cout, 3 * Cin), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_rb * n_wt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # feat in HBM
+            pl.BlockSpec(memory_space=pl.ANY),            # planes in HBM
+            wspec, wspec, wspec,
+            pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROWS, Cout, TW),
+            lambda t: (t // n_wt, 0, t % n_wt),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, Cin, TW + 2 * LANE), x_hcw.dtype),
+            pltpu.SemaphoreType.DMA((2, 1 + NP)),
+        ],
+    )
+    dt = x_hcw.dtype
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, Cout, W), dt),
+        interpret=interpret,
+    )(x_hcw, planes.astype(dt), kt0.astype(dt), kt1.astype(dt),
+      kt2.astype(dt), bias.astype(jnp.float32), slope.astype(jnp.float32))
+
+
+def _xla_equiv_planes(x_hcw, planes, k_hwio, bias, slope, H: int,
+                      cf_true: int, prelu: bool,
+                      w_true: Optional[int] = None):
+    """XLA composition equal to conv3x3_hcw_planes (true channels)."""
+    BH, cf_pad, W = x_hcw.shape
+    B = BH // H
+    wt = W if w_true is None else w_true
+    cin, cout = k_hwio.shape[2], k_hwio.shape[3]
+    np_true = cin - cf_true
+    xf = x_hcw[:, :cf_true, :wt].transpose(0, 2, 1)
+    xp = planes[:np_true, :, :wt].transpose(1, 2, 0)
+    xn = jnp.concatenate([xf, xp.astype(xf.dtype)], axis=-1)
+    xn = xn.reshape(B, H, wt, cin)
+    y = jax.lax.conv_general_dilated(
+        xn, k_hwio.astype(xn.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)
+    if prelu:
+        s = slope.astype(jnp.float32)
+        y = jnp.maximum(y, 0.0) + s * jnp.minimum(y, 0.0)
+    y = y.astype(x_hcw.dtype)
+    coutp = channel_pad(cout, x_hcw.dtype)
+    if (coutp, wt) != (cout, W):
+        y = jnp.pad(
+            y, ((0, 0), (0, 0), (0, W - wt), (0, coutp - cout))
+        )
+    return y.reshape(BH, W, coutp).transpose(0, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def conv3x3_hcw_planes_op(x_hcw, planes, k_hwio, bias, slope, H: int,
+                          cf_true: int, prelu: bool, interpret: bool,
+                          w_true: Optional[int] = None):
+    """Differentiable conv3x3 over [HCW feat ‖ image planes].
+
+    x_hcw: [B*H, channel_pad(cf_true), W] compute-dtype feat; planes:
+    [NP_true, B*H, W] image planes (any float dtype — cast inside);
+    k_hwio: [3, 3, cf_true + NP_true, Cout] f32 params with input
+    channels ordered [feat ‖ planes]. Returns [B*H, pad(Cout), W]."""
+    dt = x_hcw.dtype
+    kt, cin_pad, cf_pad = pack_conv3x3_weights_split(k_hwio, cf_true, dt)
+    assert cf_pad == x_hcw.shape[1], (cf_pad, x_hcw.shape)
+    planes_p = pad_plane_stack(planes.astype(dt), cin_pad - cf_pad)
+    return conv3x3_hcw_planes(
+        x_hcw, planes_p, kt, pad_channel_vec(bias, dt),
+        pad_channel_vec(slope, dt) if prelu else None,
+        H=H, w_true=w_true, interpret=interpret,
+    )
+
+
+def _planes_op_fwd(x_hcw, planes, k_hwio, bias, slope, H, cf_true, prelu,
+                   interpret, w_true):
+    out = conv3x3_hcw_planes_op(x_hcw, planes, k_hwio, bias, slope, H,
+                                cf_true, prelu, interpret, w_true)
+    return out, (x_hcw, planes, k_hwio, bias, slope)
+
+
+def _planes_op_bwd(H, cf_true, prelu, interpret, w_true, res, g):
+    x_hcw, planes, k_hwio, bias, slope = res
+    _, vjp = jax.vjp(
+        lambda x, p, k, b, s: _xla_equiv_planes(
+            x, p, k, b, s, H, cf_true, prelu, w_true
+        ),
+        x_hcw, planes, k_hwio, bias, slope,
+    )
+    return vjp(g)
+
+
+conv3x3_hcw_planes_op.defvjp(_planes_op_fwd, _planes_op_bwd)
+
+
 def conv3x3_nhwc_pallas(x: jnp.ndarray, k_hwio: jnp.ndarray,
                         bias: jnp.ndarray,
                         slope: Optional[jnp.ndarray] = None,

@@ -809,17 +809,27 @@ def _slab_extents(flow: jnp.ndarray, B: int, H: int, W: int, S: int):
 def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
                     slab_rows: int = 64, interpret: bool = False,
                     unchecked: bool = False,
-                    inner: str = "scan") -> jnp.ndarray:
+                    inner: str = "scan",
+                    planar_out: bool = False) -> jnp.ndarray:
     """Exact flow_warp (ops.warp semantics) via the tile-slab kernel.
 
     feature: [B, H, W, C]; flow: [B, H, W, 2] (x, y). Requires
     H % 8 == 0, W % 128 == 0 and W >= 256; otherwise (or when any
     tile's flow spread exceeds the slab) the XLA path runs instead.
+
+    planar_out=True returns the kernel's native planar [C, B*H, W] f32
+    (no exit transpose) — the planar full-res tail consumes warped
+    images in this layout (refiner proj plane inputs, planar blends).
     """
     B, H, W, C = feature.shape
     S = slab_rows
     if H % TILE_H or W % TILE_W or W < 3 * TILE_W or H < S:
-        return warp_xla.flow_warp(feature, flow)
+        out = warp_xla.flow_warp(feature, flow)
+        if planar_out:
+            return out.astype(jnp.float32).reshape(
+                B * H, W, C
+            ).transpose(2, 0, 1)
+        return out
 
     BH = B * H
     n_th, n_tw = BH // TILE_H, W // TILE_W
@@ -862,7 +872,118 @@ def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
         out = jax.lax.cond(
             ok, fast, slow, (img_chw, flow_f, ymin_blk, xmin_blk)
         )
+    if planar_out:
+        return out  # [C, B*H, W] f32, the kernel's native layout
     return out.transpose(1, 2, 0).reshape(B, H, W, C).astype(dtype)
+
+
+# ----------------------------------------------------------------------
+# planar (CHW) warp path — the full-res tail keeps images in the warp
+# kernel's native [C, B*H, W] layout so no NHWC<->planar transposes
+# exist between the pre-align warp, the decoder blend warps, and the
+# refiner's plane-consuming proj conv (ops/conv_pallas.py planes op).
+# ----------------------------------------------------------------------
+
+def nhwc_to_planar(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [C, B*H, W] f32 (the tile-slab kernel's image
+    layout)."""
+    B, H, W, C = x.shape
+    return x.astype(jnp.float32).reshape(B * H, W, C).transpose(2, 0, 1)
+
+
+def planar_to_nhwc(p: jnp.ndarray, B: int, dtype=None) -> jnp.ndarray:
+    C, BH, W = p.shape
+    out = p.transpose(1, 2, 0).reshape(B, BH // B, W, C)
+    return out if dtype is None else out.astype(dtype)
+
+
+def flow_warp_tiled_planar(img_chw: jnp.ndarray, flow: jnp.ndarray,
+                           B: int, slab_rows: int = 64,
+                           interpret: bool = False,
+                           unchecked: bool = False,
+                           inner: str = "scan") -> jnp.ndarray:
+    """Planar-in planar-out tile-slab warp (exact; XLA fallback).
+
+    img_chw: [C, B*H, W] f32; flow: [B, H, W, 2]. Same applicability
+    and exactness rules as flow_warp_tiled.
+    """
+    C, BH, W = img_chw.shape
+    H = BH // B
+    S = slab_rows
+
+    def xla_planar(img_chw, flow):
+        feat = img_chw.transpose(1, 2, 0).reshape(B, H, W, C)
+        out = warp_xla.flow_warp(feat, flow.astype(jnp.float32))
+        return out.reshape(BH, W, C).transpose(2, 0, 1)
+
+    if H % TILE_H or W % TILE_W or W < 3 * TILE_W or H < S:
+        return xla_planar(img_chw, flow)
+
+    ymin_blk, xmin_blk, ok = _slab_extents(flow, B, H, W, S)
+    flow_f = flow.astype(jnp.float32).reshape(BH, W, 2)
+
+    def fast(args):
+        img_chw, flow_f, ymin_blk, xmin_blk = args
+        return _pallas_path(
+            img_chw, flow_f, ymin_blk.reshape(-1), xmin_blk.reshape(-1),
+            H=H, W=W, C=C, S=S, B=B, dtype=jnp.float32,
+            interpret=interpret, inner=inner,
+        )
+
+    def slow(args):
+        img_chw, flow_f, _, _ = args
+        return xla_planar(img_chw, flow_f.reshape(B, H, W, 2))
+
+    args = (img_chw, flow_f, ymin_blk, xmin_blk)
+    if unchecked:
+        return fast(args)
+    return jax.lax.cond(ok, fast, slow, args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def planar_warp_op(img_chw, flow, B: int, kernel: str, interpret: bool):
+    """Differentiable planar warp; kernel as from resolve_warp_impl
+    ('chw', 'chw_unchecked', 'chw_v2', 'chw_v2_unchecked', 'xla')."""
+    if kernel == "xla":
+        C, BH, W = img_chw.shape
+        H = BH // B
+        feat = img_chw.transpose(1, 2, 0).reshape(B, H, W, C)
+        out = warp_xla.flow_warp(feat, flow.astype(jnp.float32))
+        return out.reshape(BH, W, C).transpose(2, 0, 1)
+    return flow_warp_tiled_planar(
+        img_chw, flow, B, interpret=interpret,
+        unchecked=kernel.endswith("unchecked"),
+        inner="span" if kernel.startswith("chw_v2") else "scan",
+    )
+
+
+def _planar_ref(img_chw, flow, B):
+    C, BH, W = img_chw.shape
+    H = BH // B
+    feat = img_chw.transpose(1, 2, 0).reshape(B, H, W, C)
+    out = warp_xla.flow_warp(feat, flow.astype(jnp.float32))
+    return out.reshape(BH, W, C).transpose(2, 0, 1)
+
+
+def _planar_warp_fwd(img_chw, flow, B, kernel, interpret):
+    return planar_warp_op(img_chw, flow, B, kernel, interpret), (
+        img_chw, flow,
+    )
+
+
+def _planar_warp_bwd(B, kernel, interpret, res, g):
+    img_chw, flow = res
+    _, vjp = jax.vjp(lambda i, f: _planar_ref(i, f, B), img_chw, flow)
+    return vjp(g)
+
+
+planar_warp_op.defvjp(_planar_warp_fwd, _planar_warp_bwd)
+
+
+def flow_warp_planar_dispatch(img_chw: jnp.ndarray, flow: jnp.ndarray,
+                              B: int, impl: str = "auto") -> jnp.ndarray:
+    kernel, interpret = resolve_warp_impl(impl, img_chw.shape[0])
+    return planar_warp_op(img_chw, flow, B, kernel, interpret)
 
 
 # ----------------------------------------------------------------------

@@ -204,3 +204,83 @@ def test_conv3x3_lane_padded_gradients():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(w), atol=5e-3, rtol=1e-3
         )
+
+
+@pytest.mark.parametrize(
+    "name,B,H,W,cf,np_,Cout,lane_pad_w",
+    [
+        ("proj_like", 1, 16, 384, 16, 15, 16, 0),   # feat(16)+15 planes
+        ("wide", 1, 16, 1152, 8, 6, 8, 0),          # 3 lane tiles
+        ("batch", 2, 16, 256, 8, 3, 8, 0),          # batch-boundary rows
+        ("lane_padded", 1, 16, 384, 8, 6, 8, 128),  # w_true < W
+    ],
+)
+def test_conv3x3_planes_matches_xla(name, B, H, W, cf, np_, Cout,
+                                    lane_pad_w):
+    """[HCW feat ‖ image planes] variant: planes DMA into slab channel
+    slots; equals the XLA conv on the NHWC concat."""
+    from atmvfi_tpu.ops.conv_pallas import (
+        channel_pad,
+        conv3x3_hcw_planes_op,
+    )
+
+    rng = np.random.default_rng(hash(name) % 1000)
+    cin = cf + np_
+    wt = W
+    Wp = W + lane_pad_w
+    x = jnp.asarray(rng.standard_normal((B, H, W, cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, cin, Cout)) * 0.2,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.random((Cout,)) * 0.5, jnp.float32)
+
+    cfp = channel_pad(cf, jnp.float32)
+    feat = jnp.pad(x[..., :cf], ((0, 0), (0, 0), (0, lane_pad_w),
+                                 (0, cfp - cf)))
+    feat_hcw = feat.reshape(B * H, Wp, cfp).transpose(0, 2, 1)
+    planes = jnp.pad(
+        x[..., cf:], ((0, 0), (0, 0), (0, lane_pad_w), (0, 0))
+    ).transpose(3, 0, 1, 2).reshape(np_, B * H, Wp)
+
+    y = conv3x3_hcw_planes_op(feat_hcw, planes, k, b, s, H, cf, True,
+                              True, wt if lane_pad_w else None)
+    got = y[:, :Cout, :wt].transpose(0, 2, 1).reshape(B, H, wt, Cout)
+    want = _ref_conv(x, k, b, s)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_conv3x3_planes_gradients():
+    from atmvfi_tpu.ops.conv_pallas import conv3x3_hcw_planes_op
+
+    rng = np.random.default_rng(11)
+    B, H, W, cf, np_, Cout = 1, 16, 256, 8, 3, 8
+    cin = cf + np_
+    x = jnp.asarray(rng.standard_normal((B, H, W, cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, cin, Cout)) * 0.2,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.random((Cout,)) * 0.5, jnp.float32)
+    feat_hcw = x[..., :cf].reshape(B * H, W, cf).transpose(0, 2, 1)
+    planes = x[..., cf:].transpose(3, 0, 1, 2).reshape(np_, B * H, W)
+
+    def f_kernel(k, b, s):
+        y = conv3x3_hcw_planes_op(feat_hcw, planes, k, b, s, H, cf, True,
+                                  True)
+        return jnp.sum(y ** 2)
+
+    def f_ref(k, b, s):
+        xn = jnp.concatenate(
+            [feat_hcw.transpose(0, 2, 1),
+             planes.transpose(1, 2, 0)], axis=-1
+        ).reshape(B, H, W, cin)
+        y = _ref_conv(xn, k, b, s)
+        yp = y.reshape(B * H, W, Cout).transpose(0, 2, 1)
+        return jnp.sum(yp ** 2)
+
+    g1 = jax.grad(f_kernel, argnums=(0, 1, 2))(k, b, s)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(k, b, s)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-3, rtol=1e-3)

@@ -243,3 +243,36 @@ def test_fast_mode_compose_full_res(lite_pair):
     assert psnr > 30, psnr  # approximation, not divergence
     # fast mode's final flows carry the folded-in global component
     assert fast["opt_flow_0"].shape == exact["opt_flow_0"].shape
+
+
+def test_planar_tail_matches_default():
+    """The planar full-res tail (tail_planar='on': HCW decoder exit,
+    planar warps/blend, plane-ingesting refiner proj) must match the
+    default NHWC tail numerically — same params, same math, different
+    layouts (interpret-mode kernels on CPU)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        get_config("lite", dtype=jnp.float32),
+        conv_impl="pallas", warp_impl="tiled",
+    )
+    net_off = Network(cfg)
+    net_on = Network(dataclasses.replace(cfg, tail_planar="on"))
+    rng = np.random.default_rng(5)
+    im0 = jnp.asarray(rng.random((1, 64, 384, 3)), jnp.float32)
+    im1 = jnp.asarray(rng.random((1, 64, 384, 3)), jnp.float32)
+    variables = net_off.init(
+        jax.random.PRNGKey(0), im0, im1, global_motion=True
+    )
+    out_off = net_off.apply(variables, im0, im1, global_motion=True)
+    out_on = net_on.apply(variables, im0, im1, global_motion=True)
+    for key in ("I_t", "I_t_0", "I_t_1", "opt_flow_0", "opt_flow_1",
+                "occ_mask1"):
+        np.testing.assert_allclose(
+            np.asarray(out_on[key]), np.asarray(out_off[key]),
+            atol=5e-5, rtol=1e-4, err_msg=key,
+        )
+    got = [np.asarray(t) for t in out_on["im_t_list"]]
+    want = [np.asarray(t) for t in out_off["im_t_list"]]
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=5e-5, rtol=1e-4)

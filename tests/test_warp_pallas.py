@@ -225,3 +225,62 @@ def test_blend_gradients_match_composed():
     gs_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(im0, im1, f0, f1, occ)
     for gf, gr in zip(gs_f, gs_r):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-3)
+
+
+@pytest.mark.parametrize("inner", ["scan", "span"])
+def test_planar_warp_matches_nhwc(inner):
+    """Planar-in/planar-out warp == NHWC warp modulo layout."""
+    from atmvfi_tpu.ops.warp_pallas import (
+        flow_warp_tiled_planar,
+        nhwc_to_planar,
+        planar_to_nhwc,
+    )
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = 1, 64, 384, 3
+    feat = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    flow = _smooth_flow(B, H, W, 5.0, seed=9)
+    p = nhwc_to_planar(feat)
+    got = planar_to_nhwc(
+        flow_warp_tiled_planar(p, flow, B, interpret=True, inner=inner), B
+    )
+    want = warp_xla.flow_warp(feat, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_planar_warp_chain_and_grads():
+    """warp(warp(x)) chained in planar layout + gradient via the
+    custom VJP equals the NHWC composition."""
+    from atmvfi_tpu.ops.warp_pallas import (
+        nhwc_to_planar,
+        planar_to_nhwc,
+        planar_warp_op,
+    )
+
+    rng = np.random.default_rng(8)
+    B, H, W, C = 1, 64, 384, 3
+    feat = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    f1 = _smooth_flow(B, H, W, 3.0, seed=1)
+    f2 = _smooth_flow(B, H, W, 2.0, seed=2)
+
+    def planar(feat, f1, f2):
+        p = nhwc_to_planar(feat)
+        p = planar_warp_op(p, f1, B, "chw", True)
+        p = planar_warp_op(p, f2, B, "chw_v2", True)
+        return planar_to_nhwc(p, B)
+
+    def ref(feat, f1, f2):
+        return warp_xla.flow_warp(warp_xla.flow_warp(feat, f1), f2)
+
+    got = planar(feat, f1, f2)
+    want = ref(feat, f1, f2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    g1 = jax.grad(lambda *a: jnp.sum(planar(*a) ** 2), argnums=(0, 1, 2))(
+        feat, f1, f2
+    )
+    g2 = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=(0, 1, 2))(
+        feat, f1, f2
+    )
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
