@@ -111,6 +111,12 @@ class ConvPReLU(nn.Module):
                 self.kernel == 3 and self.stride == 1 and self.dilation == 1
             )
             wt = hcw[2] if len(hcw) > 2 else None
+            if planes is not None and x is None:
+                # planes-only form (encoder first conv: raw frames)
+                return cp.conv3x3_planes_only_op(
+                    planes.astype(self.dtype), k, b, alpha, hcw[1], True,
+                    interpret, wt,
+                )
             if planes is not None:
                 return cp.conv3x3_hcw_planes_op(
                     x.astype(self.dtype), planes, k, b, alpha, hcw[1],

@@ -197,30 +197,62 @@ class Network(nn.Module):
     # ------------------------------------------------------------------
     # sub-towers
     # ------------------------------------------------------------------
-    def shared_feat_extraction(self, x):
+    def shared_feat_extraction(self, x, img_planes=None):
         """[2B, H, W, 3] -> coarsest feat + [1/2, 1/4, 1/8] scale feats.
 
         The first stage's two stride-1 convs run at full resolution on
-        both frames. The HCW kernel-pair route here is OPT-IN
-        (ATMVFI_HCW_ENC=1) and exercised by the interpret-mode parity
-        tests (conv_impl='pallas'), but NOT used under 'auto': on real
-        Mosaic this one site diverges from the XLA path by up to the
-        feature magnitude IN-MODEL (demo golden 58.0 -> 50.2 dB) while
-        the identical op sequence probed standalone at the identical
-        shapes is exact to 3e-6 — unexplained; see
-        scripts/tpu_enc_drill.py and PERF_NOTES (round-2 debugging)."""
+        both frames. Routes for that first pair, in preference order:
+
+        * planes route (img_planes=[3, 2B*H, W] given — the planar
+          tail): the raw frames enter the first conv's slab by DMA
+          (conv3x3_planes_only_op) and the second conv runs HCW — no
+          NHWC->HCW transpose of the full-res images exists, and the
+          input path differs entirely from the one the unexplained
+          Mosaic divergence (below) rides on.
+        * HCW kernel-pair route: OPT-IN (ATMVFI_HCW_ENC=1) and
+          exercised by the interpret-mode parity tests
+          (conv_impl='pallas'), but NOT used under 'auto': on real
+          Mosaic this one site diverges from the XLA path by up to the
+          feature magnitude IN-MODEL (demo golden 58.0 -> 50.2 dB)
+          while the identical op sequence probed standalone at the
+          identical shapes is exact to 3e-6 — unexplained; see
+          scripts/tpu_enc_drill.py and PERF_NOTES (round-2 debugging).
+        * XLA NHWC convs (default)."""
         import os
+
+        from atmvfi_tpu.ops import conv_pallas as cp
 
         enc_route = _hcw_route_on("enc") and (
             self.cfg.conv_impl == "pallas"
             or os.environ.get("ATMVFI_HCW_ENC") == "1"
         )
+        conv_a, conv_b = self.feat_extracts[0], self.feat_extracts[1]
+        planes_route = False
+        if img_planes is not None and _hcw_route_on("encp"):
+            B2, H, W = x.shape[0], x.shape[1], x.shape[2]
+            use, interp = cp.resolve_conv_impl(self.cfg.conv_impl, x.shape)
+            pair_ch = [(3, conv_a.features),
+                       (conv_a.features, conv_b.features)]
+            planes_route = (
+                use
+                and cp.hcw_channels_profitable(pair_ch, self.cfg.dtype)
+                and cp.conv_run_fits(cp.lane_pad(W), pair_ch,
+                                     self.cfg.dtype)
+            )
         feats = []
         for i in range(self.cfg.pyramid_level):
-            if i == 0 and enc_route:
-                x = self._conv_pair_hcw(
-                    self.feat_extracts[0], self.feat_extracts[1], x
-                )
+            if i == 0 and planes_route:
+                wp = cp.lane_pad(W)
+                pl_in = img_planes.astype(self.cfg.dtype)
+                if wp != W:
+                    pl_in = jnp.pad(pl_in, ((0, 0), (0, 0), (0, wp - W)))
+                xh = conv_a(None, hcw=(3, H, W), interpret=interp,
+                            planes=pl_in)
+                xh = conv_b(xh, hcw=(conv_a.features, H, W),
+                            interpret=interp)
+                x = cp.hcw_to_nhwc(xh, B2, conv_b.features, W)
+            elif i == 0 and enc_route:
+                x = self._conv_pair_hcw(conv_a, conv_b, x)
             else:
                 x = self.feat_extracts[2 * i](x)
                 x = self.feat_extracts[2 * i + 1](x)
@@ -624,8 +656,18 @@ class Network(nn.Module):
             im0_list.append(ops.downsample_2x(im0_list[-1]))
             im1_list.append(ops.downsample_2x(im1_list[-1]))
 
+        img_planes = None
+        if planar_tail:
+            from atmvfi_tpu.ops.warp_pallas import nhwc_to_planar
+
+            # [3, 2B*H, W]: the per-image planar views are shared (CSE)
+            # with the planar tail's warp inputs and refiner planes
+            img_planes = jnp.concatenate(
+                [nhwc_to_planar(im0), nhwc_to_planar(im1)], axis=1
+            )
         x, feat_scale_level = self.shared_feat_extraction(
-            jnp.concatenate([im0, im1], axis=0).astype(c.dtype)
+            jnp.concatenate([im0, im1], axis=0).astype(c.dtype),
+            img_planes,
         )
         feat = self.cross_scale_feature_fusion(feat_scale_level)  # [2B,h,w,C]
 

@@ -298,17 +298,22 @@ def conv3x3_hcw(x: jnp.ndarray, kt, bias: jnp.ndarray,
       bias.astype(jnp.float32), slope.astype(jnp.float32))
 
 
-def _kernel_planes(x_ref, planes_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref,
-                   slope_ref, out_ref, slab_ref, sem,
-                   *, BH, H, W, Wt, Cf, Cin, Cout, TW, CHUNK, n_wt, prelu,
-                   out_dtype, precision):
+def _kernel_planes(*refs, BH, H, W, Wt, Cf, Cin, Cout, TW, CHUNK, n_wt,
+                   prelu, out_dtype, precision):
     """conv3x3 over [HCW feat ‖ planar images]: the feat part DMAs like
     _kernel into slab channels [0, Cf); each image PLANE [BH, W] DMAs
     into one slab sublane slice (channel Cf+p) — so C=3 images feed the
     conv without ever materializing an NHWC->HCW transpose (the refiner
     proj consumes five of them at full resolution). planes_ref must
     hold Cin - Cf planes (zero-padded stack), so every slab channel is
-    DMA-written."""
+    DMA-written. Cf == 0 is the planes-only form (the encoder's first
+    conv consumes the raw frames as planes): no x input exists."""
+    if Cf:
+        (x_ref, planes_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref,
+         slope_ref, out_ref, slab_ref, sem) = refs
+    else:
+        (planes_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref,
+         slope_ref, out_ref, slab_ref, sem) = refs
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     rb = t // n_wt
@@ -324,11 +329,14 @@ def _kernel_planes(x_ref, planes_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref,
             cp.start() if start else cp.wait()
 
         def issue(col_src, col_dst, width):
-            go(pltpu.make_async_copy(
-                x_ref.at[pl.ds(row_start, 10), :, pl.ds(col_src, width)],
-                slab_ref.at[slot, :, pl.ds(0, Cf), pl.ds(col_dst, width)],
-                sem.at[slot, 0],
-            ))
+            if Cf:
+                go(pltpu.make_async_copy(
+                    x_ref.at[pl.ds(row_start, 10), :,
+                             pl.ds(col_src, width)],
+                    slab_ref.at[slot, :, pl.ds(0, Cf),
+                                pl.ds(col_dst, width)],
+                    sem.at[slot, 0],
+                ))
             for p in range(NP):
                 go(pltpu.make_async_copy(
                     planes_ref.at[p, pl.ds(row_start, 10),
@@ -427,7 +435,7 @@ def pack_conv3x3_weights_split(k_hwio: jnp.ndarray, cf_true: int,
     to channel_pad(cf_true), plane weights right after, zeros to the
     padded total. Returns (kt_triple, cin_pad, cf_pad)."""
     kh, kw, cin, cout = k_hwio.shape
-    assert kh == 3 and kw == 3 and 0 < cf_true <= cin
+    assert kh == 3 and kw == 3 and 0 <= cf_true <= cin
     np_true = cin - cf_true
     cf_pad = channel_pad(cf_true, act_dtype)
     cin_pad = channel_pad(cf_pad + np_true, act_dtype)
@@ -460,63 +468,69 @@ def conv3x3_hcw_planes(x_hcw: jnp.ndarray, planes: jnp.ndarray, kt,
                        interpret: bool = False) -> jnp.ndarray:
     """conv3x3+bias(+PReLU) over [HCW feat ‖ image planes].
 
-    x_hcw: [B*H, Cf_pad, W]; planes: [NP, B*H, W] zero-padded stack
-    with Cf_pad + NP == Cin_pad (pad_plane_stack); kt from
+    x_hcw: [B*H, Cf_pad, W] or None (planes-only form, Cf == 0 — the
+    encoder's first conv); planes: [NP, B*H, W] zero-padded stack with
+    Cf_pad + NP == Cin_pad (pad_plane_stack); kt from
     pack_conv3x3_weights_split. Same constraints as conv3x3_hcw.
     """
-    BH, Cf, W = x_hcw.shape
-    NP = planes.shape[0]
+    NP, BH, W = planes.shape
+    Cf = 0 if x_hcw is None else x_hcw.shape[1]
+    dt = planes.dtype if x_hcw is None else x_hcw.dtype
     Cin = Cf + NP
     kt0, kt1, kt2 = kt
     Cout = kt0.shape[0]
     assert kt0.shape[1] == 3 * Cin, (kt0.shape, Cin)
-    assert planes.shape[1:] == (BH, W)
+    assert x_hcw is None or x_hcw.shape == (BH, Cf, W)
     wt = W if w_true is None else w_true
-    gran = 16 if x_hcw.dtype.itemsize == 2 else 8
+    gran = 16 if dt.itemsize == 2 else 8
     assert BH % ROWS == 0 and W % LANE == 0 and BH >= 16
     assert 0 < wt <= W
     assert Cf % gran == 0 and Cin % gran == 0 and Cout % gran == 0
-    TW, chunk = _pick_plan(W, Cin, Cout, x_hcw.dtype.itemsize)
+    TW, chunk = _pick_plan(W, Cin, Cout, dt.itemsize)
     n_rb, n_wt = BH // ROWS, W // TW
     kernel = functools.partial(
         _kernel_planes, BH=BH, H=H, W=W, Wt=wt, Cf=Cf, Cin=Cin, Cout=Cout,
         TW=TW, CHUNK=chunk, n_wt=n_wt, prelu=slope is not None,
-        out_dtype=x_hcw.dtype,
+        out_dtype=dt,
         precision=(jax.lax.Precision.HIGHEST
-                   if x_hcw.dtype == jnp.float32 else None),
+                   if dt == jnp.float32 else None),
     )
     if slope is None:
         slope = jnp.zeros((Cout,), jnp.float32)
     wspec = pl.BlockSpec((Cout, 3 * Cin), lambda t: (0, 0),
                          memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # planes in HBM
+    args = [planes.astype(dt)]
+    if x_hcw is not None:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pl.ANY))  # feat
+        args.insert(0, x_hcw)
+    in_specs += [
+        wspec, wspec, wspec,
+        pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
+    ]
+    args += [kt0.astype(dt), kt1.astype(dt), kt2.astype(dt),
+             bias.astype(jnp.float32), slope.astype(jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_rb * n_wt,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),            # feat in HBM
-            pl.BlockSpec(memory_space=pl.ANY),            # planes in HBM
-            wspec, wspec, wspec,
-            pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (ROWS, Cout, TW),
             lambda t: (t // n_wt, 0, t % n_wt),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 10, Cin, TW + 2 * LANE), x_hcw.dtype),
+            pltpu.VMEM((2, 10, Cin, TW + 2 * LANE), dt),
             pltpu.SemaphoreType.DMA((2, 1 + NP)),
         ],
     )
-    dt = x_hcw.dtype
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BH, Cout, W), dt),
         interpret=interpret,
-    )(x_hcw, planes.astype(dt), kt0.astype(dt), kt1.astype(dt),
-      kt2.astype(dt), bias.astype(jnp.float32), slope.astype(jnp.float32))
+    )(*args)
 
 
 def _xla_equiv_planes(x_hcw, planes, k_hwio, bias, slope, H: int,
@@ -589,6 +603,66 @@ def _planes_op_bwd(H, cf_true, prelu, interpret, w_true, res, g):
 
 
 conv3x3_hcw_planes_op.defvjp(_planes_op_fwd, _planes_op_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def conv3x3_planes_only_op(planes, k_hwio, bias, slope, H: int,
+                           prelu: bool, interpret: bool,
+                           w_true: Optional[int] = None):
+    """Differentiable conv3x3 consuming ONLY image planes (the
+    encoder's first conv: raw frames enter the kernel's slab by DMA,
+    no NHWC->HCW transpose exists). planes: [C, B*H, W] in the compute
+    dtype; k_hwio: [3, 3, C, Cout] f32. Returns [B*H, pad(Cout), W]."""
+    dt = planes.dtype
+    kt, cin_pad, _ = pack_conv3x3_weights_split(k_hwio, 0, dt)
+    planes_p = pad_plane_stack(planes, cin_pad)
+    return conv3x3_hcw_planes(
+        None, planes_p, kt, pad_channel_vec(bias, dt),
+        pad_channel_vec(slope, dt) if prelu else None,
+        H=H, w_true=w_true, interpret=interpret,
+    )
+
+
+def _xla_equiv_planes_only(planes, k_hwio, bias, slope, H: int,
+                           prelu: bool, w_true: Optional[int] = None):
+    C, BH, W = planes.shape
+    B = BH // H
+    wt = W if w_true is None else w_true
+    cout = k_hwio.shape[3]
+    xn = planes[:, :, :wt].transpose(1, 2, 0).reshape(B, H, wt, C)
+    y = jax.lax.conv_general_dilated(
+        xn, k_hwio.astype(xn.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)
+    if prelu:
+        s = slope.astype(jnp.float32)
+        y = jnp.maximum(y, 0.0) + s * jnp.minimum(y, 0.0)
+    y = y.astype(planes.dtype)
+    coutp = channel_pad(cout, planes.dtype)
+    if (coutp, wt) != (cout, W):
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, W - wt), (0, coutp - cout)))
+    return y.reshape(BH, W, coutp).transpose(0, 2, 1)
+
+
+def _planes_only_fwd(planes, k_hwio, bias, slope, H, prelu, interpret,
+                     w_true):
+    out = conv3x3_planes_only_op(planes, k_hwio, bias, slope, H, prelu,
+                                 interpret, w_true)
+    return out, (planes, k_hwio, bias, slope)
+
+
+def _planes_only_bwd(H, prelu, interpret, w_true, res, g):
+    planes, k_hwio, bias, slope = res
+    _, vjp = jax.vjp(
+        lambda p, k, b, s: _xla_equiv_planes_only(p, k, b, s, H, prelu,
+                                                  w_true),
+        planes, k_hwio, bias, slope,
+    )
+    return vjp(g)
+
+
+conv3x3_planes_only_op.defvjp(_planes_only_fwd, _planes_only_bwd)
 
 
 def conv3x3_nhwc_pallas(x: jnp.ndarray, k_hwio: jnp.ndarray,

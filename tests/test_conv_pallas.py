@@ -284,3 +284,22 @@ def test_conv3x3_planes_gradients():
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=2e-3, rtol=1e-3)
+
+
+def test_conv3x3_planes_only_matches_xla():
+    """Planes-only form (encoder first conv: raw frames by DMA)."""
+    from atmvfi_tpu.ops.conv_pallas import conv3x3_planes_only_op
+
+    rng = np.random.default_rng(21)
+    B, H, W, C, Cout = 2, 16, 384, 3, 8
+    x = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, C, Cout)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.random((Cout,)) * 0.5, jnp.float32)
+    planes = x.transpose(3, 0, 1, 2).reshape(C, B * H, W)
+    y = conv3x3_planes_only_op(planes, k, b, s, H, True, True)
+    got = y[:, :Cout].transpose(0, 2, 1).reshape(B, H, W, Cout)
+    want = _ref_conv(x, k, b, s)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+    )
