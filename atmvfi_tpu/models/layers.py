@@ -108,9 +108,17 @@ class ConvPReLU(nn.Module):
         alpha = self.param("prelu", prelu_init, (self.features,))
         if hcw is not None:
             assert (
-                self.kernel == 3 and self.stride == 1 and self.dilation == 1
+                self.kernel == 3 and self.stride in (1, 2)
+                and self.dilation == 1
             )
             wt = hcw[2] if len(hcw) > 2 else None
+            if self.stride == 2:
+                # encoder downsampling stages; hcw[1] is H_OUT here
+                assert planes is None
+                return cp.conv3x3s2_hcw_op(
+                    x.astype(self.dtype), k, b, alpha, hcw[1], True,
+                    interpret, wt,
+                )
             if planes is not None and x is None:
                 # planes-only form (encoder first conv: raw frames)
                 return cp.conv3x3_planes_only_op(

@@ -240,6 +240,7 @@ class Network(nn.Module):
                                      self.cfg.dtype)
             )
         feats = []
+        xh = None  # HCW carry of the planes route (+ its true dims)
         for i in range(self.cfg.pyramid_level):
             if i == 0 and planes_route:
                 wp = cp.lane_pad(W)
@@ -250,12 +251,46 @@ class Network(nn.Module):
                             planes=pl_in)
                 xh = conv_b(xh, hcw=(conv_a.features, H, W),
                             interpret=interp)
-                x = cp.hcw_to_nhwc(xh, B2, conv_b.features, W)
-            elif i == 0 and enc_route:
+                h_cur, w_cur, c_cur = H, W, conv_b.features
+                continue
+            if i == 0 and enc_route:
                 x = self._conv_pair_hcw(conv_a, conv_b, x)
-            else:
-                x = self.feat_extracts[2 * i](x)
-                x = self.feat_extracts[2 * i + 1](x)
+                continue
+            sa, sb = self.feat_extracts[2 * i], self.feat_extracts[2 * i + 1]
+            if xh is not None:
+                # continue the HCW chain: stride-2 kernel + stride-1
+                # kernel, exit to NHWC once per scale for the fusion
+                dt = self.cfg.dtype
+                h_out = h_cur // 2
+                wp = xh.shape[2]
+                wp2 = -(-wp // 256) * 256  # s2 kernel: input lanes %256
+                ok = (
+                    h_cur % 2 == 0 and (B2 * h_cur) % 16 == 0
+                    and B2 * h_cur >= 32
+                    and cp.hcw_channels_profitable(
+                        [(c_cur, sa.features), (sa.features, sb.features)],
+                        dt)
+                    and cp.conv_s2_fits(wp2 // 2, c_cur, sa.features, dt)
+                    and cp.conv_run_fits(
+                        wp2 // 2, [(sa.features, sb.features)], dt)
+                )
+                if ok:
+                    if wp2 != wp:
+                        xh = jnp.pad(xh, ((0, 0), (0, 0), (0, wp2 - wp)))
+                    xh = sa(xh, hcw=(c_cur, h_out, w_cur), interpret=interp)
+                    h_cur = h_out
+                    w_cur = (w_cur + 1) // 2
+                    xh = sb(xh, hcw=(sa.features, h_cur, w_cur),
+                            interpret=interp)
+                    c_cur = sb.features
+                    x = cp.hcw_to_nhwc(xh, B2, c_cur, w_cur)
+                    feats.append(x)
+                    continue
+                # chain no longer feasible: exit and finish in XLA
+                x = cp.hcw_to_nhwc(xh, B2, c_cur, w_cur)
+                xh = None
+            x = sa(x)
+            x = sb(x)
             if i != 0:
                 feats.append(x)
         return x, feats

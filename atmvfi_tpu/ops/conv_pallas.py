@@ -665,6 +665,332 @@ def _planes_only_bwd(H, prelu, interpret, w_true, res, g):
 conv3x3_planes_only_op.defvjp(_planes_only_fwd, _planes_only_bwd)
 
 
+# ----------------------------------------------------------------------
+# stride-2 conv3x3 (encoder downsampling stages) in HCW
+# ----------------------------------------------------------------------
+
+def _pick_plan_s2(Wout: int, cin: int, cout: int, dtype_bytes: int):
+    """Largest 128-multiple OUTPUT lane tile dividing Wout whose VMEM
+    footprint fits (input extent = 2*TW + 256 halo lanes)."""
+    budget = 10 * 1024 * 1024
+    best = None
+    for tw in (1024, 896, 768, 640, 512, 384, 256, 128):
+        if Wout % tw or (tw < 2 * LANE and Wout != tw):
+            continue
+        ext = 2 * tw + 2 * LANE
+        for chunk in (8, 4, 2, 1):
+            slab = 2 * 17 * cin * ext * dtype_bytes
+            amat = 3 * cin * chunk * ext * dtype_bytes
+            macc = 3 * cout * chunk * ext * 4
+            splits = 3 * cout * (ext // 2) * 4
+            out = 2 * ROWS * cout * tw * dtype_bytes
+            if slab + amat + macc + splits + out < budget:
+                if best is None or tw > best[0]:
+                    best = (tw, chunk)
+                break
+    if best is None:
+        raise ValueError(
+            f"no s2 HCW conv tiling fits VMEM: Wout={Wout} cin={cin} "
+            f"cout={cout}"
+        )
+    return best
+
+
+def conv_s2_fits(Wout: int, cin: int, cout: int, dtype) -> bool:
+    nbytes = jnp.dtype(dtype).itemsize
+    try:
+        _pick_plan_s2(Wout, channel_pad(cin, dtype),
+                      channel_pad(cout, dtype), nbytes)
+    except ValueError:
+        return False
+    return True
+
+
+def _kernel_s2(x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref,
+               out_ref, slab_ref, sem,
+               *, BHin, Hout, Win, Wtin, Cin, Cout, TW, CHUNK, n_wt,
+               prelu, out_dtype, precision):
+    """conv3x3 stride 2, 'same' pad 1 (reference encoder stages): per 8
+    OUTPUT rows a [17, Cin, EXT] input slab is DMA'd (rows 2y'-1..+15,
+    128-lane halo); the contraction runs as the stride-1 kernel's three
+    per-dx matmuls at INPUT lane resolution, then the stride-2 lane
+    selection happens on the f32 results as parity-split gathers
+    (E[x']=m[2x'], O[x']=m[2x'+1], per-page 128-lane take_along_axis)
+    combined by offset-slice adds:
+        out[x'] = O0[63+x'] + E1[64+x'] + O2[64+x']
+    (the input halo is LANE=128 lanes, so the dx=-1 tap of output lane
+    x' is input lane 2*(63+x')+1). All constructs are the measured
+    Mosaic-portable set (pallas_probe3/4)."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    rb = t // n_wt
+    wt = t % n_wt
+    Hin = 2 * Hout
+    EXT = 2 * TW + 2 * LANE
+
+    def transfer(slot, tile, start):
+        trb = tile // n_wt
+        twt = tile % n_wt
+        row_start = jnp.clip(trb * 16 - 1, 0, BHin - 17)
+
+        def go(cp):
+            cp.start() if start else cp.wait()
+
+        if n_wt == 1:
+            go(pltpu.make_async_copy(
+                x_ref.at[pl.ds(row_start, 17), :, :],
+                slab_ref.at[slot, :, :, pl.ds(LANE, Win)],
+                sem.at[slot],
+            ))
+            return
+        first = twt == 0
+        last = twt == n_wt - 1
+        interior = jnp.logical_not(first | last)
+
+        @pl.when(interior)
+        def _():
+            go(pltpu.make_async_copy(
+                x_ref.at[
+                    pl.ds(row_start, 17), :,
+                    pl.ds(pl.multiple_of(twt * 2 * TW - LANE, LANE),
+                          2 * TW + 2 * LANE),
+                ],
+                slab_ref.at[slot],
+                sem.at[slot],
+            ))
+
+        @pl.when(first)
+        def _():
+            go(pltpu.make_async_copy(
+                x_ref.at[pl.ds(row_start, 17), :, pl.ds(0, 2 * TW + LANE)],
+                slab_ref.at[slot, :, :, pl.ds(LANE, 2 * TW + LANE)],
+                sem.at[slot],
+            ))
+
+        @pl.when(last)
+        def _():
+            go(pltpu.make_async_copy(
+                x_ref.at[
+                    pl.ds(row_start, 17), :,
+                    pl.ds(pl.multiple_of(twt * 2 * TW - LANE, LANE),
+                          2 * TW + LANE),
+                ],
+                slab_ref.at[slot, :, :, pl.ds(0, 2 * TW + LANE)],
+                sem.at[slot],
+            ))
+
+    @pl.when(t == 0)
+    def _():
+        transfer(0, 0, start=True)
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        transfer((t + 1) % 2, t + 1, start=True)
+
+    slot = t % 2
+    transfer(slot, t, start=False)
+
+    w0_out = wt * TW                         # first output col of tile
+    w0_in = 2 * w0_out
+    row_start = jnp.clip(rb * 16 - 1, 0, BHin - 17)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, EXT), 1)
+    x_in_full = w0_in - LANE + lane_iota
+    lane_ok = (x_in_full >= 0) & (x_in_full <= Wtin - 1)
+
+    def row_for(r, dy):
+        gy_out = rb * ROWS + r
+        gy_in = 2 * gy_out + dy - 1
+        y_loc = 2 * (gy_out % Hout) + dy - 1
+        idx = jnp.clip(gy_in - row_start, 0, 16)
+        vrow = (y_loc >= 0) & (y_loc <= Hin - 1)
+        row = slab_ref[slot, idx]                # [Cin, EXT]
+        return jnp.where(vrow & lane_ok, row, jnp.zeros_like(row))
+
+    half = EXT // 2
+    n_hp = half // LANE
+    par_iota = jax.lax.broadcasted_iota(jnp.int32, (Cout, LANE), 1)
+
+    def parity_split(m, par):
+        """[Cout, EXT] f32 -> [Cout, EXT//2] with out[y] = m[2y+par]."""
+        pages = [m[:, p * LANE : (p + 1) * LANE] for p in range(EXT // LANE)]
+        outs = []
+        for q in range(n_hp):
+            # output page q reads input lanes [256q+par, 256(q+1)+par)
+            idx = 2 * par_iota + par        # 0..255 within the pair
+            lo = jnp.take_along_axis(
+                pages[2 * q], jnp.where(idx < LANE, idx, 0), axis=1
+            )
+            hi = jnp.take_along_axis(
+                pages[2 * q + 1],
+                jnp.where(idx >= LANE, idx - LANE, 0), axis=1,
+            )
+            outs.append(jnp.where(idx < LANE, lo, hi))
+        return outs  # list of [Cout, 128] pages
+
+    for c0 in range(0, ROWS, CHUNK):
+        amat = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [row_for(r, dy) for dy in range(3)], axis=0
+                )
+                for r in range(c0, c0 + CHUNK)
+            ],
+            axis=1,
+        )  # [3Cin, CHUNK*EXT]
+        ms = []
+        for kt_ref in (kt0_ref, kt1_ref, kt2_ref):
+            ms.append(jax.lax.dot_general(
+                kt_ref[...], amat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ))  # [Cout, CHUNK*EXT] f32
+        for j in range(CHUNK):
+            sl = slice(j * EXT, (j + 1) * EXT)
+            o0 = parity_split(ms[0][:, sl], 1)   # O0[y] = m0[2y+1]
+            e1 = parity_split(ms[1][:, sl], 0)   # E1[y] = m1[2y]
+            o2 = parity_split(ms[2][:, sl], 1)   # O2[y] = m2[2y+1]
+            o0f = jnp.concatenate(o0, axis=1)    # [Cout, half]
+            e1f = jnp.concatenate(e1, axis=1)
+            o2f = jnp.concatenate(o2, axis=1)
+            y = (
+                o0f[:, 63 : 63 + TW]
+                + e1f[:, 64 : 64 + TW]
+                + o2f[:, 64 : 64 + TW]
+            )
+            y = y + bias_ref[...].reshape(Cout, 1)
+            if prelu:
+                slp = slope_ref[...].reshape(Cout, 1)
+                y = jnp.maximum(y, 0.0) + slp * jnp.minimum(y, 0.0)
+            out_iota = jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
+            # zero lanes beyond the true output width (ceil(Wtin/2))
+            y = jnp.where(2 * (w0_out + out_iota) < Wtin, y, 0.0)
+            out_ref[c0 + j] = y.astype(out_dtype)
+
+
+def conv3x3s2_hcw(x_hcw: jnp.ndarray, kt, bias: jnp.ndarray,
+                  slope: Optional[jnp.ndarray], H_out: int,
+                  w_true: Optional[int] = None,
+                  interpret: bool = False) -> jnp.ndarray:
+    """conv3x3 stride-2 pad-1 + bias (+PReLU) on HCW activations.
+
+    x_hcw: [B*H_in, Cin_pad, W_in]; returns [B*H_in/2, Cout_pad,
+    W_in/2]. Requires W_in % 256 == 0 (output lanes stay
+    128-multiples), (B*H_in) % 16 == 0, even per-image heights.
+    w_true < W_in marks lane-padded input; output lanes beyond
+    ceil(w_true/2) are zeroed.
+    """
+    BHin, Cin, Win = x_hcw.shape
+    kt0, kt1, kt2 = kt
+    Cout = kt0.shape[0]
+    wt = Win if w_true is None else w_true
+    gran = 16 if x_hcw.dtype.itemsize == 2 else 8
+    assert BHin % 16 == 0 and Win % 256 == 0 and BHin >= 32
+    assert 0 < wt <= Win
+    assert Cin % gran == 0 and Cout % gran == 0, (Cin, Cout, gran)
+    Wout = Win // 2
+    TW, chunk = _pick_plan_s2(Wout, Cin, Cout, x_hcw.dtype.itemsize)
+    n_rb, n_wt = BHin // 16, Wout // TW
+    kernel = functools.partial(
+        _kernel_s2, BHin=BHin, Hout=H_out, Win=Win, Wtin=wt, Cin=Cin,
+        Cout=Cout, TW=TW, CHUNK=chunk, n_wt=n_wt,
+        prelu=slope is not None, out_dtype=x_hcw.dtype,
+        precision=(jax.lax.Precision.HIGHEST
+                   if x_hcw.dtype == jnp.float32 else None),
+    )
+    if slope is None:
+        slope = jnp.zeros((Cout,), jnp.float32)
+    wspec = pl.BlockSpec((Cout, 3 * Cin), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_rb * n_wt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            wspec, wspec, wspec,
+            pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROWS, Cout, TW),
+            lambda t: (t // n_wt, 0, t % n_wt),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 17, Cin, 2 * TW + 2 * LANE), x_hcw.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dt = x_hcw.dtype
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BHin // 2, Cout, Wout), dt),
+        interpret=interpret,
+    )(x_hcw, kt0.astype(dt), kt1.astype(dt), kt2.astype(dt),
+      bias.astype(jnp.float32), slope.astype(jnp.float32))
+
+
+def _xla_equiv_s2(x_hcw, k_hwio, bias, slope, H_out: int, prelu: bool,
+                  w_true: Optional[int] = None):
+    """XLA stride-2 conv equal to conv3x3s2_hcw on padded activations."""
+    BHin, cp_, Win = x_hcw.shape
+    Hin = 2 * H_out
+    B = BHin // Hin
+    wt = Win if w_true is None else w_true
+    cin, cout = k_hwio.shape[2], k_hwio.shape[3]
+    xn = x_hcw[:, :cin, :wt].transpose(0, 2, 1).reshape(B, Hin, wt, cin)
+    y = jax.lax.conv_general_dilated(
+        xn, k_hwio.astype(xn.dtype), (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)
+    if prelu:
+        s = slope.astype(jnp.float32)
+        y = jnp.maximum(y, 0.0) + s * jnp.minimum(y, 0.0)
+    y = y.astype(x_hcw.dtype)
+    wt_out = y.shape[2]
+    coutp = channel_pad(cout, x_hcw.dtype)
+    Wout = Win // 2
+    if (coutp, wt_out) != (cout, Wout):
+        y = jnp.pad(
+            y, ((0, 0), (0, 0), (0, Wout - wt_out), (0, coutp - cout))
+        )
+    return y.reshape(BHin // 2, Wout, coutp).transpose(0, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def conv3x3s2_hcw_op(x_hcw, k_hwio, bias, slope, H_out: int, prelu: bool,
+                     interpret: bool, w_true: Optional[int] = None):
+    """Differentiable HCW stride-2 conv3x3(+bias+PReLU)."""
+    dt = x_hcw.dtype
+    kt = pack_conv3x3_weights_padded(k_hwio, dt)
+    return conv3x3s2_hcw(
+        x_hcw, kt, pad_channel_vec(bias, dt),
+        pad_channel_vec(slope, dt) if prelu else None,
+        H_out=H_out, w_true=w_true, interpret=interpret,
+    )
+
+
+def _s2_op_fwd(x_hcw, k_hwio, bias, slope, H_out, prelu, interpret,
+               w_true):
+    out = conv3x3s2_hcw_op(x_hcw, k_hwio, bias, slope, H_out, prelu,
+                           interpret, w_true)
+    return out, (x_hcw, k_hwio, bias, slope)
+
+
+def _s2_op_bwd(H_out, prelu, interpret, w_true, res, g):
+    x_hcw, k_hwio, bias, slope = res
+    _, vjp = jax.vjp(
+        lambda x, k, b, s: _xla_equiv_s2(x, k, b, s, H_out, prelu, w_true),
+        x_hcw, k_hwio, bias, slope,
+    )
+    return vjp(g)
+
+
+conv3x3s2_hcw_op.defvjp(_s2_op_fwd, _s2_op_bwd)
+
+
 def conv3x3_nhwc_pallas(x: jnp.ndarray, k_hwio: jnp.ndarray,
                         bias: jnp.ndarray,
                         slope: Optional[jnp.ndarray] = None,

@@ -303,3 +303,75 @@ def test_conv3x3_planes_only_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize(
+    "name,B,Hin,Win,Cin,Cout,wt",
+    [
+        ("single", 1, 32, 256, 8, 16, None),
+        ("wide", 1, 32, 768, 8, 8, None),       # multiple lane tiles
+        ("batch", 2, 32, 512, 16, 16, None),    # batch-boundary rows
+        ("lane_padded", 1, 32, 512, 8, 8, 384), # w_true < W_in
+    ],
+)
+def test_conv3x3s2_matches_xla(name, B, Hin, Win, Cin, Cout, wt):
+    """Stride-2 HCW kernel (encoder downsampling stages): three per-dx
+    matmuls at input lane resolution + parity-split gathers +
+    offset-slice adds select the strided output lanes."""
+    from atmvfi_tpu.ops.conv_pallas import channel_pad, conv3x3s2_hcw_op
+
+    rng = np.random.default_rng(hash(name) % 1000)
+    w_in = Win if wt is None else wt
+    x = jnp.asarray(rng.standard_normal((B, Hin, w_in, Cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.2,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.random((Cout,)) * 0.5, jnp.float32)
+    cp_ = channel_pad(Cin, jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, Win - w_in), (0, cp_ - Cin)))
+    x_hcw = xp.reshape(B * Hin, Win, cp_).transpose(0, 2, 1)
+    y = conv3x3s2_hcw_op(x_hcw, k, b, s, Hin // 2, True, True, wt)
+    w_out = (w_in + 1) // 2
+    got = y[:, :Cout, :w_out].transpose(0, 2, 1).reshape(
+        B, Hin // 2, w_out, Cout
+    )
+    want = jax.lax.conv_general_dilated(
+        x, k, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    want = jnp.maximum(want, 0) + s * jnp.minimum(want, 0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_conv3x3s2_gradients():
+    from atmvfi_tpu.ops.conv_pallas import conv3x3s2_hcw_op
+
+    rng = np.random.default_rng(13)
+    B, Hin, Win, C = 1, 32, 256, 8
+    x = jnp.asarray(rng.standard_normal((B, Hin, Win, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.random((C,)) * 0.5, jnp.float32)
+    x_hcw = x.reshape(B * Hin, Win, C).transpose(0, 2, 1)
+
+    def f_kernel(k, b, s):
+        return jnp.sum(
+            conv3x3s2_hcw_op(x_hcw, k, b, s, Hin // 2, True, True) ** 2
+        )
+
+    def f_ref(k, b, s):
+        y = jax.lax.conv_general_dilated(
+            x, k, (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        y = jnp.maximum(y, 0) + s * jnp.minimum(y, 0)
+        yp = y.reshape(B * Hin // 2, Win // 2, C).transpose(0, 2, 1)
+        return jnp.sum(yp ** 2)
+
+    g1 = jax.grad(f_kernel, argnums=(0, 1, 2))(k, b, s)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(k, b, s)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-3, rtol=1e-3)
