@@ -550,7 +550,9 @@ class Network(nn.Module):
                 feat_hcw, hcw=(cin_total, H, w_true), interpret=interp,
                 planes=planes15, cf_true=cf_true,
             )
-            feat0 = cp.hcw_to_nhwc(xh, B, hid, w_true)
+            feat0 = cp.hcw_to_nhwc(xh, B, hid, w_true)  # lazy view
+            return self._refine_core(feat0, skips, feat0_hcw=xh,
+                                     w0=w_true)
         else:
             # fall back to the NHWC concat path (pays the transposes)
             from atmvfi_tpu.ops.warp_pallas import planar_to_nhwc
@@ -566,13 +568,39 @@ class Network(nn.Module):
             )
         return self._refine_core(feat0, skips)
 
-    def _refine_core(self, feat0, skips):
+    def _refine_core(self, feat0, skips, feat0_hcw=None, w0=None):
+        """U-Net body. feat0_hcw (when the proj ran an HCW/planes
+        kernel): the HCW proj output, consumed directly by a stride-2
+        down1 kernel and by the head concat, making the full-res NHWC
+        view `feat0` dead in the serving graph."""
         from atmvfi_tpu.ops import conv_pallas as cp
         from atmvfi_tpu.ops import deconv_pallas as dp
 
         dt = self.cfg.dtype
         B, H, W = feat0.shape[0], feat0.shape[1], feat0.shape[2]
-        feat1 = _seq(self.down1, feat0)
+        d1 = self.down1[0]
+        use_d1 = False
+        if feat0_hcw is not None and len(self.down1) == 1:
+            hid_in = self.refine_proj.features
+            wp0 = feat0_hcw.shape[2]
+            wp2 = -(-wp0 // 256) * 256
+            _, interp_d1 = cp.resolve_conv_impl(
+                self.cfg.conv_impl, (B, H, W, hid_in)
+            )
+            use_d1 = (
+                d1.stride == 2 and H % 2 == 0 and (B * H) % 16 == 0
+                and B * H >= 32
+                and cp.hcw_channels_profitable([(hid_in, d1.features)], dt)
+                and cp.conv_s2_fits(wp2 // 2, hid_in, d1.features, dt)
+            )
+        if use_d1:
+            xh0 = feat0_hcw
+            if wp2 != wp0:
+                xh0 = jnp.pad(xh0, ((0, 0), (0, 0), (0, wp2 - wp0)))
+            xh1 = d1(xh0, hcw=(hid_in, H // 2, w0), interpret=interp_d1)
+            feat1 = cp.hcw_to_nhwc(xh1, B, d1.features, (w0 + 1) // 2)
+        else:
+            feat1 = _seq(self.down1, feat0)
         feat2 = _seq(self.down2, jnp.concatenate([feat1, skips[1]], axis=-1))
         feat3 = _seq(self.down3, jnp.concatenate([feat2, skips[0]], axis=-1))
         feat2_ = _seq(self.up1, feat3)
@@ -603,9 +631,15 @@ class Network(nn.Module):
             xh1 = cp.nhwc_to_hcw(cat1.astype(dt))
             xh0_ = self.up3[0](xh1, hcw=(cat1.shape[-1], Wh),
                                interpret=interp)
-            xh = jnp.concatenate(
-                [xh0_, cp.nhwc_to_hcw(feat0.astype(dt), 2 * wph)], axis=1
-            )
+            if feat0_hcw is not None:
+                f0h = feat0_hcw
+                if f0h.shape[2] != 2 * wph:
+                    f0h = jnp.pad(
+                        f0h, ((0, 0), (0, 0), (0, 2 * wph - f0h.shape[2]))
+                    )
+            else:
+                f0h = cp.nhwc_to_hcw(feat0.astype(dt), 2 * wph)
+            xh = jnp.concatenate([xh0_, f0h], axis=1)
             xh = self.refine_head[0](xh, hcw=(2 * hid, H, W),
                                      interpret=interp)
             xh = self.refine_head[1](

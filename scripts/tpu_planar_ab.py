@@ -71,6 +71,26 @@ mx, mn = jax.jit(planar_warp_check)(k2)
 print(f"planar warp f32 @4K: max={float(mx):.3e} mean={float(mn):.3e}",
       flush=True)
 
+# --- 1c. stride-2 conv at the encoder stage-2 shape (bf16) ---
+
+
+def s2_conv_check(key):
+    ks = jax.random.split(key, 4)
+    cin, cout = 16, 32
+    x_hcw = jax.random.normal(ks[0], (2 * H, cin, W), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (3, 3, cin, cout), jnp.float32) * 0.1
+    b = jax.random.normal(ks[2], (cout,), jnp.float32) * 0.1
+    s = jax.random.uniform(ks[3], (cout,), jnp.float32) * 0.5
+    y = cp.conv3x3s2_hcw_op(x_hcw, k, b, s, H // 2, True, False)
+    ref = cp._xla_equiv_s2(x_hcw, k, b, s, H // 2, True)
+    d = jnp.abs(y.astype(jnp.float32) - ref.astype(jnp.float32))
+    return jnp.max(d), jnp.mean(d)
+
+
+mx, mn = jax.jit(s2_conv_check)(jax.random.PRNGKey(2))
+print(f"s2 conv bf16 @4K 2B: max={float(mx):.3e} mean={float(mn):.3e}",
+      flush=True)
+
 # --- 2 + 3. full model: parity and throughput ---
 base_cfg = get_config("lite", dtype=jnp.bfloat16)
 dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
