@@ -39,8 +39,11 @@ from atmvfi_tpu.models.layers import (
 
 
 def _hcw_route_on(name: str) -> bool:
-    """Debug escape hatch: ATMVFI_HCW_DISABLE=enc,dec,pair,proj,up3,head
-    turns individual HCW Pallas route sites off (read at trace time)."""
+    """Debug escape hatch:
+    ATMVFI_HCW_DISABLE=enc,encp,dec,pair,proj,up3,head,tail
+    turns individual HCW/planar Pallas route sites off (read at trace
+    time). 'tail' kills the whole planar full-res tail; 'encp' the
+    planes-fed encoder chain inside it."""
     import os
 
     dis = os.environ.get("ATMVFI_HCW_DISABLE", "")

@@ -312,6 +312,8 @@ def test_conv3x3_planes_only_matches_xla():
         ("wide", 1, 32, 768, 8, 8, None),       # multiple lane tiles
         ("batch", 2, 32, 512, 16, 16, None),    # batch-boundary rows
         ("lane_padded", 1, 32, 512, 8, 8, 384), # w_true < W_in
+        ("multi_tile", 1, 32, 2560, 8, 8, None),  # Wout=1280 -> TW=640,
+                                                  # first/interior/last DMA
     ],
 )
 def test_conv3x3s2_matches_xla(name, B, Hin, Win, Cin, Cout, wt):
