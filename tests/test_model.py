@@ -276,3 +276,21 @@ def test_planar_tail_matches_default():
     want = [np.asarray(t) for t in out_off["im_t_list"]]
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, atol=5e-5, rtol=1e-4)
+
+
+def test_planar_tail_gate_falls_back_at_unsupported_shapes():
+    """The planar tail must only engage where the warp kernel applies
+    (W%128, minimums); elsewhere the standard NHWC path runs."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        get_config("lite", dtype=jnp.float32),
+        conv_impl="pallas", warp_impl="tiled", tail_planar="on",
+    )
+    net = Network(cfg)
+    assert net._planar_tail_on(64, 384)
+    assert not net._planar_tail_on(64, 400)   # W % 128 != 0
+    assert not net._planar_tail_on(40, 384)   # H % 8 != 0
+    assert not net._planar_tail_on(64, 256)   # W < 384
+    off = Network(dataclasses.replace(cfg, tail_planar="off"))
+    assert not off._planar_tail_on(64, 384)
