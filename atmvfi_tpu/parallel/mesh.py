@@ -11,6 +11,14 @@ layer: an ('data', 'spatial') mesh where
                 and collectives for the warp gathers
 
 Single-device falls out as a 1x1 mesh (no collectives emitted).
+
+NOTE on the Pallas kernels: GSPMD cannot partition custom calls, so
+under a multi-device mesh the tile-slab warp / HCW conv kernels would
+make XLA all-gather their operands (correct, but serializes those ops
+on one shard's worth of work per device). For spatially-sharded
+multi-chip inference prefer `ATMVFIConfig(warp_impl="xla",
+conv_impl="xla", tail_planar="off")`; the kernels are single-chip
+serving optimizations.
 """
 from __future__ import annotations
 
