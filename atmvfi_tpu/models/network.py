@@ -601,13 +601,22 @@ class Network(nn.Module):
             if wp2 != wp0:
                 xh0 = jnp.pad(xh0, ((0, 0), (0, 0), (0, wp2 - wp0)))
             xh1 = d1(xh0, hcw=(hid_in, H // 2, w0), interpret=interp_d1)
-            feat1 = cp.hcw_to_nhwc(xh1, B, d1.features, (w0 + 1) // 2)
+            w1 = (w0 + 1) // 2
+            # lazy NHWC view — dead when only cat1 consumes it? no:
+            # cat1 concatenates feat1, so this 1/2-res exit stays live
+            feat1 = cp.hcw_to_nhwc(xh1, B, d1.features, w1)
+            feat2 = self._refine_down2_hcw(xh1, w1, B, skips, interp_d1)
         else:
             feat1 = _seq(self.down1, feat0)
-        feat2 = _seq(self.down2, jnp.concatenate([feat1, skips[1]], axis=-1))
-        feat3 = _seq(self.down3, jnp.concatenate([feat2, skips[0]], axis=-1))
+            feat2 = None
+        if feat2 is None:
+            feat2 = _seq(self.down2,
+                         jnp.concatenate([feat1, skips[1]], axis=-1))
+        feat3 = _seq(self.down3,
+                     jnp.concatenate([feat2, skips[0]], axis=-1))
         feat2_ = _seq(self.up1, feat3)
-        feat1_ = _seq(self.up2, jnp.concatenate([feat2_, feat2], axis=-1))
+        feat1_ = _seq(self.up2,
+                      jnp.concatenate([feat2_, feat2], axis=-1))
         cat1 = jnp.concatenate([feat1_, feat1], axis=-1)
 
         hid = self.up3[0].features
@@ -631,17 +640,18 @@ class Network(nn.Module):
             and cp.conv_run_fits(2 * wph, head_ch, dt)
         )
         if deconv_route:
-            xh1 = cp.nhwc_to_hcw(cat1.astype(dt))
-            xh0_ = self.up3[0](xh1, hcw=(cat1.shape[-1], Wh),
+            xcat = cp.nhwc_to_hcw(cat1.astype(dt), wph)
+            xh0_ = self.up3[0](xcat, hcw=(cat1.shape[-1], Wh),
                                interpret=interp)
+            w_full = xh0_.shape[2]  # 2 * the half-res lane pad used
             if feat0_hcw is not None:
                 f0h = feat0_hcw
-                if f0h.shape[2] != 2 * wph:
+                if f0h.shape[2] != w_full:
                     f0h = jnp.pad(
-                        f0h, ((0, 0), (0, 0), (0, 2 * wph - f0h.shape[2]))
+                        f0h, ((0, 0), (0, 0), (0, w_full - f0h.shape[2]))
                     )
             else:
-                f0h = cp.nhwc_to_hcw(feat0.astype(dt), 2 * wph)
+                f0h = cp.nhwc_to_hcw(feat0.astype(dt), w_full)
             xh = jnp.concatenate([xh0_, f0h], axis=1)
             xh = self.refine_head[0](xh, hcw=(2 * hid, H, W),
                                      interpret=interp)
@@ -671,6 +681,53 @@ class Network(nn.Module):
         else:
             res = _seq(self.refine_head, cat_h)
         return 2 * jax.nn.sigmoid(res) - 1
+
+    def _refine_down2_hcw(self, xh1, w1, B, skips, interp):
+        """down2 of the refiner U-Net in HCW (stride-2 + stride-1
+        kernels; the 1/2-res skip transposes in and the channel concat
+        happens at a padded boundary that lines up with
+        pack_conv3x3_weights_padded's zero rows). Exits ONCE at 1/4
+        resolution. down3/up1/up2 deliberately stay XLA: their channel
+        widths (e.g. lite 288->128 at 1/4) are where lax.conv is
+        MXU-efficient and the HCW kernel's edge inverts (~229ch
+        measured, PERF_NOTES). Returns feat2 NHWC or None."""
+        from atmvfi_tpu.ops import conv_pallas as cp
+
+        dt = self.cfg.dtype
+        gran = 16 if jnp.dtype(dt).itemsize == 2 else 8
+        hid = self.down1[0].features
+        if len(self.down2) != 2:
+            return None
+        d2a, d2b = self.down2
+        if d2a.stride != 2 or d2b.stride != 1:
+            return None
+        BH1 = xh1.shape[0]
+        h1 = BH1 // B
+        cin2 = hid + skips[1].shape[-1]
+        w2 = w1 // 2
+        wp1 = xh1.shape[2]
+        wp1b = -(-wp1 // 256) * 256
+        wq2 = wp1b // 2
+        ok = (
+            hid % gran == 0
+            and w1 % 2 == 0 and h1 % 2 == 0
+            and (B * h1) % 16 == 0 and B * h1 >= 32
+            and cp.hcw_channels_profitable(
+                [(cin2, d2a.features), (d2a.features, d2b.features)], dt)
+            and cp.conv_s2_fits(wq2, cin2, d2a.features, dt)
+            and cp.conv_run_fits(wq2, [(d2a.features, d2b.features)], dt)
+        )
+        if not ok:
+            return None
+        x = xh1
+        if wp1b != wp1:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, wp1b - wp1)))
+        x = jnp.concatenate(
+            [x, cp.nhwc_to_hcw(skips[1].astype(dt), wp1b)], axis=1
+        )
+        x = d2a(x, hcw=(cin2, h1 // 2, w1), interpret=interp)
+        x = d2b(x, hcw=(d2a.features, h1 // 2, w2), interpret=interp)
+        return cp.hcw_to_nhwc(x, B, d2b.features, w2)
 
     # ------------------------------------------------------------------
     # global-motion multiscale ensemble (vectorized; network_base.py:548-605)

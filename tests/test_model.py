@@ -294,3 +294,105 @@ def test_planar_tail_gate_falls_back_at_unsupported_shapes():
     assert not net._planar_tail_on(64, 256)   # W < 384
     off = Network(dataclasses.replace(cfg, tail_planar="off"))
     assert not off._planar_tail_on(64, 384)
+
+
+def test_refiner_hcw_unet_matches_xla():
+    """The refiner U-Net HCW chain (down2..up2 via s2/s1/deconv kernels,
+    skips transposed in) must equal the plain XLA refiner — run
+    directly on the refiner with synthetic inputs at a height where
+    every stage gate passes (H=256 -> h1=128)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        get_config("lite", dtype=jnp.float32),
+        conv_impl="pallas", warp_impl="tiled",
+    )
+    net = Network(cfg)
+    rng = np.random.default_rng(9)
+    B, H, W = 1, 256, 384
+    hid = cfg.refine_hidden
+    fd2, fd3 = cfg.decoder_dims[1], cfg.decoder_dims[2]
+    mo = 5
+    feat = jnp.asarray(
+        rng.standard_normal((B, H, W, fd3 + mo)) * 0.3, jnp.float32)
+    imgs = [jnp.asarray(rng.random((B, H, W, 3)), jnp.float32)
+            for _ in range(5)]
+    # skips carry the decoder stage outputs MINUS the 5 motion channels
+    skips = [
+        jnp.asarray(rng.standard_normal(
+            (B, H // 4, W // 4, cfg.decoder_dims[0])) * 0.3, jnp.float32),
+        jnp.asarray(rng.standard_normal(
+            (B, H // 2, W // 2, fd2)) * 0.3, jnp.float32),
+    ]
+    dummy = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), dummy, dummy)
+
+    def run_nhwc(self):
+        return self.residual_refinement(feat, *imgs, skips)
+
+    def run_planar(self):
+        from atmvfi_tpu.ops import conv_pallas as cp
+        from atmvfi_tpu.ops.warp_pallas import nhwc_to_planar
+
+        feat_hcw = cp.nhwc_to_hcw(feat)
+        planes15 = jnp.concatenate(
+            [nhwc_to_planar(t) for t in imgs], axis=0
+        )
+        return self.residual_refinement_planar(
+            feat_hcw, fd3 + mo, W, B, planes15, skips
+        )
+
+    want = net.apply(variables, method=run_nhwc)
+    got = net.apply(variables, method=run_planar)
+    assert want.shape == got.shape == (B, H, W, 3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4
+    )
+
+
+def test_refiner_down2_hcw_engages_and_matches_bf16():
+    """The down2 HCW leg only fits VMEM in bf16 (the serving dtype; the
+    f32 17-row slab at 144ch busts the budget and the gate falls back).
+    Assert it ENGAGES in bf16 and matches the XLA refiner to bf16
+    quantization noise."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        get_config("lite", dtype=jnp.bfloat16),
+        conv_impl="pallas", warp_impl="tiled",
+    )
+    net = Network(cfg)
+    B, H, W = 1, 256, 384
+    fd2, fd3 = cfg.decoder_dims[1], cfg.decoder_dims[2]
+    mo = 5
+    rng = np.random.default_rng(10)
+    dummy = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), dummy, dummy)
+
+    xh1 = jnp.asarray(
+        rng.standard_normal((B * H // 2, 32, 384)) * 0.3, jnp.bfloat16)
+    skips = [
+        jnp.asarray(rng.standard_normal(
+            (B, H // 4, W // 4, cfg.decoder_dims[0])) * 0.3, jnp.bfloat16),
+        jnp.asarray(rng.standard_normal(
+            (B, H // 2, W // 2, fd2)) * 0.3, jnp.bfloat16),
+    ]
+
+    def run_chain(self):
+        return self._refine_down2_hcw(xh1, 192, B, skips, True)
+
+    got = net.apply(variables, method=run_chain)
+    assert got is not None, "down2 HCW leg did not engage in bf16"
+
+    def run_xla(self):
+        from atmvfi_tpu.ops import conv_pallas as cp
+
+        feat1 = cp.hcw_to_nhwc(xh1, B, 32, 192)
+        return _seq(self.down2, jnp.concatenate([feat1, skips[1]], -1))
+
+    from atmvfi_tpu.models.network import _seq
+
+    want = net.apply(variables, method=run_xla)
+    assert got.shape == want.shape
+    d = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    assert d.max() < 0.05 and d.mean() < 2e-3, (d.max(), d.mean())
