@@ -245,11 +245,13 @@ def test_fast_mode_compose_full_res(lite_pair):
     assert fast["opt_flow_0"].shape == exact["opt_flow_0"].shape
 
 
-def test_planar_tail_matches_default():
+@pytest.mark.parametrize("global_motion", [True, False])
+def test_planar_tail_matches_default(global_motion):
     """The planar full-res tail (tail_planar='on': HCW decoder exit,
     planar warps/blend, plane-ingesting refiner proj) must match the
     default NHWC tail numerically — same params, same math, different
-    layouts (interpret-mode kernels on CPU)."""
+    layouts (interpret-mode kernels on CPU). global_motion=False also
+    covers the NHWC->planar conversion branch (no pre-align warp)."""
     import dataclasses
 
     cfg = dataclasses.replace(
@@ -264,8 +266,10 @@ def test_planar_tail_matches_default():
     variables = net_off.init(
         jax.random.PRNGKey(0), im0, im1, global_motion=True
     )
-    out_off = net_off.apply(variables, im0, im1, global_motion=True)
-    out_on = net_on.apply(variables, im0, im1, global_motion=True)
+    out_off = net_off.apply(variables, im0, im1,
+                            global_motion=global_motion)
+    out_on = net_on.apply(variables, im0, im1,
+                          global_motion=global_motion)
     for key in ("I_t", "I_t_0", "I_t_1", "opt_flow_0", "opt_flow_1",
                 "occ_mask1"):
         np.testing.assert_allclose(
