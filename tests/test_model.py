@@ -400,3 +400,32 @@ def test_refiner_down2_hcw_engages_and_matches_bf16():
     assert got.shape == want.shape
     d = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
     assert d.max() < 0.05 and d.mean() < 2e-3, (d.max(), d.mean())
+
+
+def test_planar_tail_matches_default_bf16():
+    """bf16 planar-vs-default parity: exercises the 16-channel padding
+    granularity everywhere (e.g. the planes-only encoder conv pads 3
+    planes to 16) and the refiner down2 HCW leg, which only engages in
+    bf16. Tolerances are bf16 quantization noise — both sides run the
+    same compute dtype."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        get_config("lite", dtype=jnp.bfloat16),
+        conv_impl="pallas", warp_impl="tiled",
+    )
+    net_off = Network(cfg)
+    net_on = Network(dataclasses.replace(cfg, tail_planar="on"))
+    rng = np.random.default_rng(6)
+    im0 = jnp.asarray(rng.random((1, 64, 384, 3)), jnp.float32)
+    im1 = jnp.asarray(rng.random((1, 64, 384, 3)), jnp.float32)
+    variables = net_off.init(
+        jax.random.PRNGKey(0), im0, im1, global_motion=True
+    )
+    out_off = net_off.apply(variables, im0, im1, global_motion=True)
+    out_on = net_on.apply(variables, im0, im1, global_motion=True)
+    d = np.abs(
+        np.asarray(out_on["I_t"], np.float32)
+        - np.asarray(out_off["I_t"], np.float32)
+    )
+    assert d.max() < 0.06 and d.mean() < 3e-3, (d.max(), d.mean())
