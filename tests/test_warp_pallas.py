@@ -123,6 +123,8 @@ def test_resolver():
     kernel, interp = resolve_warp_impl("tiled", 3)
     assert kernel == "chw"
     assert resolve_warp_impl("tiled_nhwc", 3)[0] == "nhwc"
+    assert resolve_warp_impl("tiled_v2", 3)[0] == "chw_v2"
+    assert resolve_warp_impl("tiled_v2_unchecked", 3)[0] == "chw_v2_unchecked"
     auto_kernel, _ = resolve_warp_impl("auto", 3)
     on_tpu = jax.default_backend() == "tpu"
     assert auto_kernel == ("chw" if on_tpu else "xla")
