@@ -10,7 +10,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Context lines go to stderr.
 """
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -18,6 +20,24 @@ import numpy as np
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _arm_init_watchdog(seconds=900):
+    """Fail fast if the TPU backend never initializes. When the axon
+    relay is down, the device claim HANGS forever inside native code
+    (SIGTERM is ignored there — observed 2026-08-18, PERF_NOTES
+    'Hardware validation queue'); without this the driver's bench run
+    would hang instead of reporting. Disarmed once devices resolve."""
+    armed = threading.Event()
+
+    def watch():
+        if not armed.wait(seconds):
+            log(f"bench: TPU backend init did not complete in "
+                f"{seconds}s — relay down? aborting")
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return armed
 
 
 def _frame_pairs(seed, iters, h, w):
@@ -138,7 +158,9 @@ def bench_resolution(variables, net, h, w, iters):
 def main():
     import jax
 
+    armed = _arm_init_watchdog()
     dev = jax.devices()[0]
+    armed.set()  # backend is up; disarm
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
     variables, bnet = build("base")
