@@ -187,18 +187,40 @@ def main():
     log(f"base 448x256 (Vimeo protocol res): {vimeo_fps:.1f} fps "
         f"(reference demo claim: 24 fps 2x on GPU)")
 
+    # counted-FLOP speed-of-light (jaxpr trace, no compile) so every
+    # BENCH records fps alongside %-of-roofline (VERDICT r2 item 5)
+    extra = {
+        "base_fps_1080p": round(fps_1080, 3),
+        "lite_fps_1080p": round(lite_1080, 3),
+        "lite_fps_4k": round(lite_4k, 3),
+        "lite_fast_fps_4k": round(lite_fast_4k, 3),
+        "base_fps_448x256_vimeo_res": round(vimeo_fps, 3),
+    }
+    try:
+        from atmvfi_tpu.utils.roofline import model_roofline
+
+        # the bench pads 2160 -> 2176 rows (divisor 64)
+        rb = model_roofline("base", H=2176, W=3840)
+        rl = model_roofline("lite", H=2176, W=3840)
+        extra.update({
+            "base_4k_sol_fps": round(rb["sol_fps"], 2),
+            "base_4k_pct_of_sol": round(100 * fps_4k / rb["sol_fps"], 1),
+            "base_4k_bound": rb["bound"],
+            "lite_4k_sol_fps": round(rl["sol_fps"], 2),
+            "lite_4k_pct_of_sol": round(100 * lite_4k / rl["sol_fps"], 1),
+            "lite_4k_bound": rl["bound"],
+        })
+        log(f"roofline: base 4K SOL {rb['sol_fps']:.1f} fps ({rb['bound']}"
+            f"-bound), lite 4K SOL {rl['sol_fps']:.1f} fps ({rl['bound']})")
+    except Exception as e:  # roofline must never sink the bench number
+        log(f"roofline computation skipped: {e!r}")
+
     result = {
         "metric": "fps_4k_2x_base_bf16",
         "value": round(fps_4k, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps_4k / 30.0, 3),
-        "extra": {
-            "base_fps_1080p": round(fps_1080, 3),
-            "lite_fps_1080p": round(lite_1080, 3),
-            "lite_fps_4k": round(lite_4k, 3),
-            "lite_fast_fps_4k": round(lite_fast_4k, 3),
-            "base_fps_448x256_vimeo_res": round(vimeo_fps, 3),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 
