@@ -56,7 +56,20 @@ def test_exported_names_match_reference_model(variables):
     assert got == want
 
 
-def test_exported_checkpoint_loads_into_reference(tmp_path, variables):
+@pytest.fixture(scope="module")
+def lite_variables():
+    net = Network(get_config("lite"))
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    return jax.jit(
+        lambda a, b: net.init(jax.random.PRNGKey(1), a, b)
+    )(dummy, dummy)
+
+
+def test_exported_checkpoint_loads_into_reference(tmp_path, lite_variables):
+    # one variant is enough for the strict-load check (the name-match
+    # test above covers both); a dedicated lite fixture instead of the
+    # parametrized one keeps the suite at 0 skips
+    variables = lite_variables
     import sys
 
     sys.path.insert(0, "/root/repo/tests")
@@ -65,9 +78,6 @@ def test_exported_checkpoint_loads_into_reference(tmp_path, variables):
     from refutil import import_reference
 
     ref = import_reference()
-    n_params = sum(x.size for x in jax.tree.leaves(variables))
-    if n_params >= 20e6:
-        pytest.skip("one variant is enough for the strict-load check")
     path = str(tmp_path / "export.pt")
     save_torch_checkpoint(path, variables, meta={"src": "atmvfi_tpu"})
     ckpt = torch.load(path, weights_only=False)
