@@ -49,6 +49,7 @@ run 3000 08_argsrc      python -u scripts/tpu_argsrc_probe.py
 run 3000 09_enc_same    python -u scripts/tpu_enc_same.py
 run 3500 10_trace6      python -u scripts/tpu_trace6.py
 run 3500 11_fast_qual   python -u scripts/tpu_fast_quality.py
+run 3500 11b_overfit_fq python -u scripts/tpu_overfit_fastq.py
 run 3500 12_bench       python -u bench.py
 
 echo "queue done $(date)"
