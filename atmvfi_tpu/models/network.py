@@ -185,6 +185,14 @@ class Network(nn.Module):
 
         return flow_warp_dispatch(feature, flow, impl=self.cfg.warp_impl)
 
+    def _warp_pair(self, f0, f1, flow0, flow1):
+        """Two same-shape warps under one exactness cond (pair sites:
+        pyramid pre-align, ensemble alignmentness)."""
+        from atmvfi_tpu.ops.warp_pallas import flow_warp_pair_dispatch
+
+        return flow_warp_pair_dispatch(f0, f1, flow0, flow1,
+                                       impl=self.cfg.warp_impl)
+
     def _warp_blend(self, im0, im1, flow0, flow1, occ):
         """(I_t, I_t_0, I_t_1) via the fused dual-warp+blend kernel.
 
@@ -457,7 +465,7 @@ class Network(nn.Module):
         flow*, occ1 in NHWC for the output dict (lazy views — the
         serving jit that only consumes I_t DCEs the others)."""
         from atmvfi_tpu.ops.warp_pallas import (
-            flow_warp_planar_dispatch,
+            flow_warp_planar_pair_dispatch,
             nhwc_to_planar,
             planar_to_nhwc,
         )
@@ -477,8 +485,9 @@ class Network(nn.Module):
         if p0.ndim != 3:
             p0 = nhwc_to_planar(p0)
             p1 = nhwc_to_planar(p1)
-        w0p = flow_warp_planar_dispatch(p0, flow0, B, c.warp_impl)
-        w1p = flow_warp_planar_dispatch(p1, flow1, B, c.warp_impl)
+        w0p, w1p = flow_warp_planar_pair_dispatch(
+            p0, p1, flow0, flow1, B, c.warp_impl
+        )
         I_tp = occ_pl[None] * w0p + (1.0 - occ_pl[None]) * w1p
 
         planes15 = jnp.concatenate(
@@ -737,8 +746,7 @@ class Network(nn.Module):
         factor = H0 // flow0.shape[1]
         f0 = ops.upsample_flow(flow0, factor)
         f1 = ops.upsample_flow(flow1, factor)
-        w0 = self._warp(im0, f0)
-        w1 = self._warp(im1, f1)
+        w0, w1 = self._warp_pair(im0, im1, f0, f1)
         return jnp.mean(jnp.abs(w0 - w1), axis=(1, 2, 3))  # [B]
 
     def multiscale_global_motion_ensemble(self, im0, im1):
@@ -834,19 +842,20 @@ class Network(nn.Module):
                     # kernel's native [C, B*H, W] layout; the scale-0
                     # blend warps consume it with no transposes between
                     from atmvfi_tpu.ops.warp_pallas import (
-                        flow_warp_planar_dispatch,
+                        flow_warp_planar_pair_dispatch,
                         nhwc_to_planar,
                     )
 
-                    im0_list[0] = flow_warp_planar_dispatch(
-                        nhwc_to_planar(im0_list[0]), gf0, B, c.warp_impl
-                    )
-                    im1_list[0] = flow_warp_planar_dispatch(
-                        nhwc_to_planar(im1_list[0]), gf1, B, c.warp_impl
-                    )
+                    im0_list[0], im1_list[0] = \
+                        flow_warp_planar_pair_dispatch(
+                            nhwc_to_planar(im0_list[0]),
+                            nhwc_to_planar(im1_list[0]),
+                            gf0, gf1, B, c.warp_impl,
+                        )
                     continue
-                im0_list[i] = self._warp(im0_list[i], gf0)
-                im1_list[i] = self._warp(im1_list[i], gf1)
+                im0_list[i], im1_list[i] = self._warp_pair(
+                    im0_list[i], im1_list[i], gf0, gf1
+                )
                 if i != 0:
                     gf0 = ops.upsample_flow(gf0, 2)
                     gf1 = ops.upsample_flow(gf1, 2)

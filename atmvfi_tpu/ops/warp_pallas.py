@@ -987,6 +987,159 @@ def flow_warp_planar_dispatch(img_chw: jnp.ndarray, flow: jnp.ndarray,
 
 
 # ----------------------------------------------------------------------
+# pair ops: two same-shape warps under ONE exactness cond
+#
+# Every blend site and pyramid pre-align warps (im0, flow0) and
+# (im1, flow1) at the same shape back-to-back. With per-call conds each
+# warp pays its own `conditional` boundary (round-2 lite-4K trace: the
+# cond bucket was 98 ms, ~60% of the warp kernels themselves — VERDICT
+# r2 item 6). The pair op computes each flow's slab extents once,
+# reduces both `ok`s into one scalar, and runs BOTH tile-slab kernels
+# inside a single cond — halving the conditional count and boundary
+# crossings without touching exactness (the slow branch composes both
+# XLA gathers, as before).
+# ----------------------------------------------------------------------
+
+def _pair_core(img0_chw, img1_chw, flow0, flow1, *, B, H, W, C, S,
+               interpret, unchecked, inner):
+    """Two planar warps, one cond. imgs [C, B*H, W] f32; flows
+    [B, H, W, 2]. Returns (out0, out1) planar f32."""
+    BH = B * H
+    ymin0, xmin0, ok0 = _slab_extents(flow0, B, H, W, S)
+    ymin1, xmin1, ok1 = _slab_extents(flow1, B, H, W, S)
+    ok = ok0 & ok1
+    f0 = flow0.astype(jnp.float32).reshape(BH, W, 2)
+    f1 = flow1.astype(jnp.float32).reshape(BH, W, 2)
+
+    def one(img, f, ymin, xmin):
+        return _pallas_path(
+            img, f, ymin.reshape(-1), xmin.reshape(-1),
+            H=H, W=W, C=C, S=S, B=B, dtype=jnp.float32,
+            interpret=interpret, inner=inner,
+        )
+
+    def fast(args):
+        i0, i1, f0, f1, y0, x0, y1, x1 = args
+        return one(i0, f0, y0, x0), one(i1, f1, y1, x1)
+
+    def slow(args):
+        i0, i1, f0, f1, *_ = args
+
+        def xla_planar(img, f):
+            feat = img.transpose(1, 2, 0).reshape(B, H, W, C)
+            out = warp_xla.flow_warp(feat, f.reshape(B, H, W, 2))
+            return out.reshape(BH, W, C).transpose(2, 0, 1)
+
+        return xla_planar(i0, f0), xla_planar(i1, f1)
+
+    args = (img0_chw, img1_chw, f0, f1, ymin0, xmin0, ymin1, xmin1)
+    if unchecked:
+        return fast(args)
+    return jax.lax.cond(ok, fast, slow, args)
+
+
+def _pair_xla(im0, im1, flow0, flow1):
+    return warp_xla.flow_warp(im0, flow0), warp_xla.flow_warp(im1, flow1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def warp_pair_op(im0, im1, flow0, flow1, kernel: str, interpret: bool):
+    """(warp(im0, flow0), warp(im1, flow1)) NHWC, one exactness cond.
+
+    kernel as from resolve_warp_impl. Shapes of im0/im1 and
+    flow0/flow1 must match; same applicability rules as
+    flow_warp_tiled (shape-ineligible -> two XLA warps, no cond).
+    """
+    if kernel == "xla":
+        return _pair_xla(im0, im1, flow0, flow1)
+    if kernel == "nhwc":  # experimental variant has no pair form
+        return (flow_warp_tiled_nhwc(im0, flow0, interpret=interpret),
+                flow_warp_tiled_nhwc(im1, flow1, interpret=interpret))
+    B, H, W, C = im0.shape
+    S = 64
+    if H % TILE_H or W % TILE_W or W < 3 * TILE_W or H < S:
+        return _pair_xla(im0, im1, flow0, flow1)
+    BH = B * H
+    dtype = im0.dtype
+    i0 = im0.astype(jnp.float32).reshape(BH, W, C).transpose(2, 0, 1)
+    i1 = im1.astype(jnp.float32).reshape(BH, W, C).transpose(2, 0, 1)
+    o0, o1 = _pair_core(
+        i0, i1, flow0, flow1, B=B, H=H, W=W, C=C, S=S,
+        interpret=interpret, unchecked=kernel.endswith("unchecked"),
+        inner="span" if kernel.startswith("chw_v2") else "scan",
+    )
+    back = lambda o: o.transpose(1, 2, 0).reshape(B, H, W, C).astype(dtype)
+    return back(o0), back(o1)
+
+
+def _warp_pair_fwd(im0, im1, flow0, flow1, kernel, interpret):
+    out = warp_pair_op(im0, im1, flow0, flow1, kernel, interpret)
+    return out, (im0, im1, flow0, flow1)
+
+
+def _warp_pair_bwd(kernel, interpret, res, g):
+    # kernels are bit-exact with the XLA warp; its VJP is the true grad
+    _, vjp = jax.vjp(_pair_xla, *res)
+    return vjp(g)
+
+
+warp_pair_op.defvjp(_warp_pair_fwd, _warp_pair_bwd)
+
+
+def flow_warp_pair_dispatch(im0, im1, flow0, flow1, impl: str = "auto"):
+    kernel, interpret = resolve_warp_impl(impl, im0.shape[-1])
+    if kernel == "xla":
+        return _pair_xla(im0, im1, flow0, flow1)
+    return warp_pair_op(im0, im1, flow0, flow1, kernel, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def planar_warp_pair_op(img0_chw, img1_chw, flow0, flow1, B: int,
+                        kernel: str, interpret: bool):
+    """Planar-in planar-out warp pair under one cond (the planar tail's
+    scale-0 blend / pre-align legs)."""
+    C, BH, W = img0_chw.shape
+    H = BH // B
+    S = 64
+    if kernel == "xla" or H % TILE_H or W % TILE_W or W < 3 * TILE_W \
+            or H < S:
+        return (_planar_ref(img0_chw, flow0, B),
+                _planar_ref(img1_chw, flow1, B))
+    return _pair_core(
+        img0_chw, img1_chw, flow0, flow1, B=B, H=H, W=W, C=C, S=S,
+        interpret=interpret, unchecked=kernel.endswith("unchecked"),
+        inner="span" if kernel.startswith("chw_v2") else "scan",
+    )
+
+
+def _planar_pair_fwd(img0_chw, img1_chw, flow0, flow1, B, kernel,
+                     interpret):
+    out = planar_warp_pair_op(img0_chw, img1_chw, flow0, flow1, B,
+                              kernel, interpret)
+    return out, (img0_chw, img1_chw, flow0, flow1)
+
+
+def _planar_pair_bwd(B, kernel, interpret, res, g):
+    i0, i1, f0, f1 = res
+    _, vjp = jax.vjp(
+        lambda a0, a1, u0, u1: (_planar_ref(a0, u0, B),
+                                _planar_ref(a1, u1, B)),
+        i0, i1, f0, f1,
+    )
+    return vjp(g)
+
+
+planar_warp_pair_op.defvjp(_planar_pair_fwd, _planar_pair_bwd)
+
+
+def flow_warp_planar_pair_dispatch(img0_chw, img1_chw, flow0, flow1,
+                                   B: int, impl: str = "auto"):
+    kernel, interpret = resolve_warp_impl(impl, img0_chw.shape[0])
+    return planar_warp_pair_op(img0_chw, img1_chw, flow0, flow1, B,
+                               kernel, interpret)
+
+
+# ----------------------------------------------------------------------
 # fused dual-warp + occlusion blend
 # ----------------------------------------------------------------------
 
@@ -1145,11 +1298,16 @@ def flow_warp_blend(im0: jnp.ndarray, im1: jnp.ndarray,
     kernel, interpret = resolve_warp_impl(base_impl, im0.shape[-1])
     B, H, W, C = im0.shape
     shape_ok = not (H % TILE_H or W % TILE_W or W < 3 * TILE_W or H < 64)
-    w0 = flow_warp_dispatch(im0, flow0, base_impl)
-    w1 = flow_warp_dispatch(im1, flow1, base_impl)
     if fused and kernel == "chw" and shape_ok:
+        # independent dispatches keep w0/w1 DCE-able when only I_t is
+        # consumed (the fused kernel produces I_t by itself)
+        w0 = flow_warp_dispatch(im0, flow0, base_impl)
+        w1 = flow_warp_dispatch(im1, flow1, base_impl)
         I_t = _tiled_blend(im0, im1, flow0, flow1, occ, interpret,
                            impl == "tiled_blend_unchecked")
     else:
+        # one exactness cond for the pair (VERDICT r2 item 6): both
+        # warps feed I_t here, so nothing is lost to DCE
+        w0, w1 = flow_warp_pair_dispatch(im0, im1, flow0, flow1, base_impl)
         I_t = occ * w0 + (1 - occ) * w1
     return I_t, w0, w1

@@ -10,11 +10,12 @@ scaled by their grid), classifying work into
   * `mxu`  — dot_general / conv_general_dilated FLOPs (systolic array)
   * `vpu`  — elementwise / reduction / gather FLOPs (vector unit)
 
-and `bytes_min`, a lower bound on HBM traffic: every jaxpr-level
-primitive's operand+result bytes are NOT summed (fusion makes that
-meaningless); instead the floor counts each distinct array value once —
-the live-value footprint that must cross HBM at least once assuming
-perfect fusion. Both numbers are per *traced call*.
+and two HBM-byte figures: `bytes_min`, a traffic floor under XLA's
+fusion model (bytes count once per distinct value only at
+materialization points — dot/conv/gather/scatter/pallas operands and
+results, reduction results, top-level I/O; fusable elementwise/layout
+chains contribute nothing), and `bytes_io`, the absolute floor
+(program inputs + outputs only). All numbers are per *traced call*.
 
 `model_roofline` reports the speed-of-light fps for a variant at a
 resolution against chip specs (defaults: v5e — 197 bf16 TFLOP/s,
@@ -170,32 +171,97 @@ def count_jaxpr(jaxpr, scale: float = 1.0) -> Counts:
     return c
 
 
-def live_bytes_min(jaxpr) -> float:
-    """Lower bound on HBM bytes: each distinct non-scalar array value
-    (inputs, outputs of non-free eqns) counted once. Assumes perfect
-    fusion of free ops and no rematerialization."""
+# eqns whose results (and non-resident operands) materialize in HBM on
+# TPU: the MXU ops themselves, data-movement-irregular ops XLA keeps as
+# standalone kernels, and pallas_call (whose operand/result DMA is its
+# HBM traffic; kernel-internal values live in VMEM)
+_MATERIALIZE = {
+    "dot_general", "conv_general_dilated", "gather", "scatter",
+    "scatter_add", "sort",
+}
+_REDUCES = {
+    "reduce_sum", "reduce_max", "reduce_min", "reduce_prod",
+    "reduce_and", "reduce_or", "argmax", "argmin",
+}
+_CALLS = {"pjit", "closed_call", "custom_vjp_call", "custom_jvp_call",
+          "custom_vjp_call_jaxpr", "remat", "checkpoint"}
+
+
+def live_bytes_min(jaxpr, scale: float = 1.0, _top: bool = True) -> float:
+    """HBM-byte floor under XLA's fusion model: elementwise /
+    transcendental / layout ops fuse into their producers/consumers and
+    contribute NO bytes; bytes are counted once per distinct value at
+    *materialization points* — model inputs/outputs (top level), the
+    operands and results of MXU ops (dot/conv), irregular ops
+    (gather/scatter/sort), pallas_call DMA, and reduction results.
+    Recurses through calls like `count_jaxpr` (scan bodies scaled by
+    length, cond counts the serving/True branch, while counts one
+    iteration). Values passed across a call boundary into an inner
+    materialization point can count on both sides — a small documented
+    overcount; everything else is a genuine floor (assumes no
+    rematerialization, perfect epilogue fusion)."""
     seen = set()
     total = 0.0
 
-    def add(var):
+    def add(var, k):
         nonlocal total
-        if isinstance(var, jcore.Literal):
-            return
-        if var in seen:
+        if isinstance(var, jcore.Literal) or var in seen:
             return
         seen.add(var)
         aval = var.aval
         n = _elems(aval)
         if n > 1:
-            total += n * jax.dtypes.canonicalize_dtype(aval.dtype).itemsize
+            total += (n * jax.dtypes.canonicalize_dtype(aval.dtype).itemsize
+                      * k)
 
-    for v in jaxpr.invars:
-        add(v)
+    if _top:
+        for v in jaxpr.invars:
+            add(v, scale)
+        for v in jaxpr.outvars:
+            add(v, scale)
     for eqn in jaxpr.eqns:
-        if eqn.primitive.name in _FREE:
+        name = eqn.primitive.name
+        if name in _CALLS:
+            inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            if inner is not None:
+                total += live_bytes_min(
+                    getattr(inner, "jaxpr", inner), scale, _top=False)
+        elif name == "scan":
+            inner = eqn.params["jaxpr"]
+            total += live_bytes_min(getattr(inner, "jaxpr", inner),
+                                    scale * eqn.params["length"],
+                                    _top=False)
+        elif name == "while":
+            inner = eqn.params["body_jaxpr"]
+            total += live_bytes_min(getattr(inner, "jaxpr", inner), scale,
+                                    _top=False)
+        elif name == "cond":
+            inner = eqn.params["branches"][-1]
+            total += live_bytes_min(getattr(inner, "jaxpr", inner), scale,
+                                    _top=False)
+        elif name == "pallas_call":
+            for v in (*eqn.invars, *eqn.outvars):
+                add(v, scale)
+        elif name in _MATERIALIZE:
+            for v in (*eqn.invars, *eqn.outvars):
+                add(v, scale)
+        elif name in _REDUCES:
+            for v in eqn.outvars:
+                add(v, scale)
+    return total
+
+
+def io_bytes(jaxpr) -> float:
+    """Absolute HBM floor: the traced call's inputs + outputs only
+    (params, frames, results) — what must cross HBM even if the entire
+    program fused into one kernel."""
+    total = 0.0
+    for v in (*jaxpr.invars, *jaxpr.outvars):
+        if isinstance(v, jcore.Literal):
             continue
-        for v in eqn.outvars:
-            add(v)
+        n = _elems(v.aval)
+        if n > 1:
+            total += n * jax.dtypes.canonicalize_dtype(v.aval.dtype).itemsize
     return total
 
 
@@ -209,6 +275,7 @@ def count_flops(fn, *args, **kwargs) -> Dict[str, float]:
         "vpu_flops": c.vpu,
         "total_flops": c.total,
         "bytes_min": live_bytes_min(jaxpr.jaxpr),
+        "bytes_io": io_bytes(jaxpr.jaxpr),
     }
 
 
@@ -246,15 +313,20 @@ def model_roofline(variant: str = "lite", H: int = 2176, W: int = 4096,
     hbm_s = counts["bytes_min"] / (chip["hbm_gbps"] * 1e9)
     # MXU/VPU overlap with HBM; SOL = max of the three walls
     sol_s = max(mxu_s, vpu_s, hbm_s)
+    # upper bracket: same walls with HBM at the absolute I/O floor
+    sol_io_s = max(mxu_s, vpu_s, counts["bytes_io"] / (chip["hbm_gbps"]
+                                                       * 1e9))
     return {
         **counts,
         "mxu_tflop": counts["mxu_flops"] / 1e12,
         "vpu_tflop": counts["vpu_flops"] / 1e12,
         "hbm_gb_min": counts["bytes_min"] / 1e9,
+        "hbm_gb_io": counts["bytes_io"] / 1e9,
         "wall_mxu_ms": mxu_s * 1e3,
         "wall_vpu_ms": vpu_s * 1e3,
         "wall_hbm_ms": hbm_s * 1e3,
         "sol_fps": 1.0 / sol_s if sol_s > 0 else float("inf"),
+        "sol_fps_io": 1.0 / sol_io_s if sol_io_s > 0 else float("inf"),
         "bound": ("mxu" if sol_s == mxu_s else
                   "vpu" if sol_s == vpu_s else "hbm"),
     }

@@ -286,3 +286,74 @@ def test_planar_warp_chain_and_grads():
     )
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@pytest.mark.parametrize("kernel", ["chw", "chw_v2", "chw_unchecked"])
+def test_warp_pair_matches_two_singles(kernel):
+    """Pair op (one exactness cond for both warps) is bit-identical to
+    two independent warps, fast and fallback branches alike."""
+    from atmvfi_tpu.ops.warp_pallas import warp_pair_op
+
+    rng = np.random.default_rng(11)
+    B, H, W, C = 1, 64, 384, 3
+    im0 = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    im1 = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    for mag, tag in ((4.0, "smooth"), (500.0, "pathological")):
+        if tag == "pathological" and kernel.endswith("unchecked"):
+            continue  # unchecked mode documents inexactness there
+        f0 = _smooth_flow(B, H, W, mag, seed=3)
+        f1 = _smooth_flow(B, H, W, mag, seed=4)
+        w0, w1 = warp_pair_op(im0, im1, f0, f1, kernel, True)
+        np.testing.assert_allclose(
+            np.asarray(w0), np.asarray(warp_xla.flow_warp(im0, f0)),
+            atol=1e-5, err_msg=f"{kernel}/{tag}/w0")
+        np.testing.assert_allclose(
+            np.asarray(w1), np.asarray(warp_xla.flow_warp(im1, f1)),
+            atol=1e-5, err_msg=f"{kernel}/{tag}/w1")
+
+
+def test_warp_pair_gradients():
+    from atmvfi_tpu.ops.warp_pallas import warp_pair_op
+
+    rng = np.random.default_rng(12)
+    B, H, W, C = 1, 64, 384, 3
+    im0 = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    im1 = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    f0 = _smooth_flow(B, H, W, 3.0, seed=5)
+    f1 = _smooth_flow(B, H, W, 2.0, seed=6)
+
+    def pair_loss(*a):
+        w0, w1 = warp_pair_op(*a, "chw", True)
+        return jnp.sum(w0**2) + jnp.sum((w1 - 0.5) ** 2)
+
+    def ref_loss(i0, i1, u0, u1):
+        return (jnp.sum(warp_xla.flow_warp(i0, u0) ** 2)
+                + jnp.sum((warp_xla.flow_warp(i1, u1) - 0.5) ** 2))
+
+    g1 = jax.grad(pair_loss, argnums=(0, 1, 2, 3))(im0, im1, f0, f1)
+    g2 = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(im0, im1, f0, f1)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_planar_warp_pair_matches_two_singles():
+    from atmvfi_tpu.ops.warp_pallas import (
+        nhwc_to_planar,
+        planar_to_nhwc,
+        planar_warp_pair_op,
+    )
+
+    rng = np.random.default_rng(13)
+    B, H, W, C = 1, 64, 384, 3
+    im0 = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    im1 = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    f0 = _smooth_flow(B, H, W, 4.0, seed=7)
+    f1 = _smooth_flow(B, H, W, 3.0, seed=8)
+    p0, p1 = nhwc_to_planar(im0), nhwc_to_planar(im1)
+    w0p, w1p = planar_warp_pair_op(p0, p1, f0, f1, B, "chw", True)
+    np.testing.assert_allclose(
+        np.asarray(planar_to_nhwc(w0p, B)),
+        np.asarray(warp_xla.flow_warp(im0, f0)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(planar_to_nhwc(w1p, B)),
+        np.asarray(warp_xla.flow_warp(im1, f1)), atol=1e-5)
