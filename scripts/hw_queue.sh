@@ -44,6 +44,21 @@ if g.shape[0] == 3: g = g.transpose(1, 2, 0)
 mse = float(np.mean((g - o) ** 2))
 print('demo golden PSNR dB:', -10 * np.log10(mse))
 EOF
+# second-resolution demo golden (VERDICT r2 item 4): requires
+# /tmp/golden_it_4k.npy from /tmp/make_golden_4k.py (CPU, ~10 min)
+if [ -f /tmp/golden_it_4k.npy ]; then
+run 3500 06b_demo_4k python -u cli/demo_2x.py \
+  --ckpt /tmp/ref_rand_base.pt --frame0 /tmp/vframe4k_0.png \
+  --frame1 /tmp/vframe4k_1.png --out /tmp/verify_out_4k.png --fp32
+JAX_PLATFORMS=cpu python -u - > $LOG/06b_psnr.log 2>&1 << 'EOF'
+import numpy as np
+from PIL import Image
+g = np.load('/tmp/golden_it_4k.npy')
+o = np.asarray(Image.open('/tmp/verify_out_4k.png'), np.float32) / 255.0
+mse = float(np.mean((g - o) ** 2))
+print('demo 4K golden PSNR dB:', -10 * np.log10(mse))
+EOF
+fi
 run 3500 07_attn_ab     python -u scripts/tpu_attn_ab.py
 run 3000 08_argsrc      python -u scripts/tpu_argsrc_probe.py
 run 3000 09_enc_same    python -u scripts/tpu_enc_same.py
