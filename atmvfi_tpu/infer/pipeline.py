@@ -13,6 +13,7 @@ the reference demo (/root/reference/demo_2x.py:54-87,129-168):
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Iterable, List, Optional, Sequence
 
@@ -25,17 +26,48 @@ from atmvfi_tpu.models import Network, get_config
 
 
 class InterpolationPipeline:
-    """Stateful wrapper: model variant + weights -> frame interpolator."""
+    """Stateful wrapper: model variant + weights -> frame interpolator.
+
+    Multi-chip serving: pass `mesh` (an ('data', 'spatial') mesh from
+    atmvfi_tpu.parallel.make_mesh) to shard activations over the
+    'spatial' (height) axis — the counted roofline (PERF_NOTES round 3)
+    caps exact lite at ~20 fps/chip at 4K, so the 4K >=30 fps target is
+    a >=2-chip configuration by physics. XLA SPMD inserts the conv halo
+    exchanges and warp-gather collectives; weights are replicated. The
+    Pallas kernels are single-chip custom calls GSPMD cannot partition
+    (parallel/mesh.py note), so a spatial mesh forces the XLA op
+    implementations automatically.
+    """
 
     def __init__(self, variables, variant: str = "base", dtype=jnp.bfloat16,
                  global_motion: bool = True, ensemble_global_motion: bool = False,
                  pad_divisor: int = 64, donate: bool = True,
-                 fast: bool = False):
+                 fast: bool = False, mesh=None):
         self.cfg = get_config(variant, dtype=dtype)
         if fast:
             # serving profile: unchecked slab warps + composed full-res
             # warps (ATMVFIConfig.fast; deviation measured in PERF_NOTES)
             self.cfg = self.cfg.fast()
+        self.mesh = mesh
+        self._sharding = None
+        if mesh is not None and mesh.devices.size > 1:
+            from atmvfi_tpu.parallel import (
+                SPATIAL_AXIS, replicated, spatial_sharding,
+            )
+
+            n_sp = mesh.shape[SPATIAL_AXIS]
+            assert pad_divisor % n_sp == 0, (
+                f"pad_divisor {pad_divisor} must be a multiple of the "
+                f"spatial mesh extent {n_sp} so padded heights shard evenly"
+            )
+            # GSPMD cannot partition custom calls: keep everything on
+            # XLA ops under a multi-device mesh
+            self.cfg = dataclasses.replace(
+                self.cfg, warp_impl="xla", conv_impl="xla",
+                attention_impl="xla", tail_planar="off",
+            )
+            variables = jax.device_put(variables, replicated(mesh))
+            self._sharding = spatial_sharding(mesh)
         self.net = Network(self.cfg)
         self.variables = variables
         self.global_motion = global_motion
@@ -72,6 +104,10 @@ class InterpolationPipeline:
     # ------------------------------------------------------------------
     def interpolate_device(self, im0: jnp.ndarray, im1: jnp.ndarray) -> jnp.ndarray:
         """Padded NHWC float frames on device -> middle frame (device)."""
+        if self._sharding is not None:
+            # H-shard the activations; a no-op when already placed
+            im0 = jax.device_put(im0, self._sharding)
+            im1 = jax.device_put(im1, self._sharding)
         return self._fwd(
             self.variables, im0, im1,
             global_motion=self.global_motion,

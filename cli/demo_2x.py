@@ -45,6 +45,10 @@ def main():
                         "pair with --model_type lite for max fps)")
     p.add_argument("--combine_video", action="store_true",
                    help="also write an input-vs-output comparison strip")
+    p.add_argument("--spatial_shards", type=int, default=1,
+                   help="shard activations over N devices along height "
+                        "(multi-chip 4K serving; uses XLA op impls — "
+                        "see atmvfi_tpu/parallel/mesh.py)")
     args = p.parse_args()
 
     import numpy as np
@@ -54,13 +58,22 @@ def main():
     from atmvfi_tpu.models import Network, get_config
     from atmvfi_tpu.utils.images import read_image, write_image
 
+    mesh = None
+    if args.spatial_shards > 1:
+        import jax
+
+        from atmvfi_tpu.parallel import make_mesh
+
+        mesh = make_mesh((1, args.spatial_shards),
+                         jax.devices()[: args.spatial_shards])
+
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     if args.ckpt:
         pipeline = load_pipeline(
             args.ckpt, variant=args.model_type, dtype=dtype,
             global_motion=not args.global_off,
             ensemble_global_motion=args.ensemble_global,
-            fast=args.fast,
+            fast=args.fast, mesh=mesh,
         )
     else:
         print("WARNING: no --ckpt given; using random weights (smoke mode)")
@@ -74,7 +87,7 @@ def main():
             variables, variant=args.model_type, dtype=dtype,
             global_motion=not args.global_off,
             ensemble_global_motion=args.ensemble_global,
-            fast=args.fast,
+            fast=args.fast, mesh=mesh,
         )
 
     n_params = sum(

@@ -91,6 +91,37 @@ def test_interpolate_stream_4x(lite_pipeline):
     np.testing.assert_array_equal(out[4], frames[1])
 
 
+def test_mesh_pipeline_matches_single_device():
+    """InterpolationPipeline(mesh=...) — the multi-chip 4K serving path:
+    weights replicate, activations H-shard over 'spatial', impls force
+    to XLA (GSPMD cannot partition the Pallas custom calls), and the
+    result matches the unsharded pipeline."""
+    from atmvfi_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) >= 8
+    cfg = get_config("lite")
+    net = Network(cfg)
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(3), dummy, dummy)
+    kw = dict(variant="lite", dtype=jnp.float32, global_motion=True)
+    ref_pipe = InterpolationPipeline(variables, **kw)
+    mesh_pipe = InterpolationPipeline(
+        variables, mesh=make_mesh((1, 8)), **kw
+    )
+    assert mesh_pipe.cfg.warp_impl == "xla"
+    assert mesh_pipe.cfg.conv_impl == "xla"
+    assert mesh_pipe.cfg.attention_impl == "xla"
+
+    rng = np.random.default_rng(7)
+    img0 = (rng.random((120, 120, 3)) * 255).astype(np.uint8)
+    img1 = (rng.random((120, 120, 3)) * 255).astype(np.uint8)
+    want = ref_pipe.interpolate(img0, img1)
+    got = mesh_pipe.interpolate(img0, img1)
+    # sharding changes XLA reduction order; after uint8 rounding an
+    # off-by-one is the worst admissible difference
+    assert np.max(np.abs(got.astype(np.int16) - want.astype(np.int16))) <= 1
+
+
 def test_window_reconfig_reuses_params(lite_pipeline):
     rng = np.random.default_rng(2)
     img0 = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
