@@ -128,7 +128,7 @@ def count_jaxpr(jaxpr, scale: float = 1.0) -> Counts:
             c.mxu += _dot_flops(eqn) * scale
         elif name == "conv_general_dilated":
             c.mxu += _conv_flops(eqn) * scale
-        elif name in ("pjit", "closed_call", "custom_vjp_call",
+        elif name in ("jit", "pjit", "closed_call", "custom_vjp_call",
                       "custom_jvp_call", "custom_vjp_call_jaxpr",
                       "remat", "checkpoint"):
             inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
@@ -183,8 +183,12 @@ _REDUCES = {
     "reduce_sum", "reduce_max", "reduce_min", "reduce_prod",
     "reduce_and", "reduce_or", "argmax", "argmin",
 }
-_CALLS = {"pjit", "closed_call", "custom_vjp_call", "custom_jvp_call",
-          "custom_vjp_call_jaxpr", "remat", "checkpoint"}
+# jax 0.9 names the pjit primitive "jit" (jnp-internal functions like
+# take_along_axis / einsum trace as nested jit eqns — missing it would
+# drop their gathers/dots from every count)
+_CALLS = {"jit", "pjit", "closed_call", "custom_vjp_call",
+          "custom_jvp_call", "custom_vjp_call_jaxpr", "remat",
+          "checkpoint"}
 
 
 def live_bytes_min(jaxpr, scale: float = 1.0, _top: bool = True) -> float:
@@ -200,55 +204,67 @@ def live_bytes_min(jaxpr, scale: float = 1.0, _top: bool = True) -> float:
     materialization point can count on both sides — a small documented
     overcount; everything else is a genuine floor (assumes no
     rematerialization, perfect epilogue fusion)."""
-    seen = set()
-    total = 0.0
+    return sum(live_bytes_breakdown(jaxpr, scale, _top=_top).values())
 
-    def add(var, k):
-        nonlocal total
+
+def live_bytes_breakdown(jaxpr, scale: float = 1.0,
+                         _top: bool = True) -> Dict[str, float]:
+    """`live_bytes_min` itemized: {bucket: bytes} where bucket is the
+    materializing primitive name ('io' for program inputs/outputs,
+    the Pallas kernel's name for pallas_call). Same traversal and
+    dedup semantics as live_bytes_min (which sums this)."""
+    from collections import Counter
+
+    seen = set()
+    out: Counter = Counter()
+
+    def add(var, k, bucket):
         if isinstance(var, jcore.Literal) or var in seen:
             return
         seen.add(var)
         aval = var.aval
         n = _elems(aval)
         if n > 1:
-            total += (n * jax.dtypes.canonicalize_dtype(aval.dtype).itemsize
-                      * k)
+            out[bucket] += (
+                n * jax.dtypes.canonicalize_dtype(aval.dtype).itemsize * k
+            )
 
     if _top:
         for v in jaxpr.invars:
-            add(v, scale)
+            add(v, scale, "io")
         for v in jaxpr.outvars:
-            add(v, scale)
+            add(v, scale, "io")
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
         if name in _CALLS:
             inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
             if inner is not None:
-                total += live_bytes_min(
-                    getattr(inner, "jaxpr", inner), scale, _top=False)
+                out.update(live_bytes_breakdown(
+                    getattr(inner, "jaxpr", inner), scale, _top=False))
         elif name == "scan":
             inner = eqn.params["jaxpr"]
-            total += live_bytes_min(getattr(inner, "jaxpr", inner),
-                                    scale * eqn.params["length"],
-                                    _top=False)
+            out.update(live_bytes_breakdown(
+                getattr(inner, "jaxpr", inner),
+                scale * eqn.params["length"], _top=False))
         elif name == "while":
             inner = eqn.params["body_jaxpr"]
-            total += live_bytes_min(getattr(inner, "jaxpr", inner), scale,
-                                    _top=False)
+            out.update(live_bytes_breakdown(
+                getattr(inner, "jaxpr", inner), scale, _top=False))
         elif name == "cond":
             inner = eqn.params["branches"][-1]
-            total += live_bytes_min(getattr(inner, "jaxpr", inner), scale,
-                                    _top=False)
+            out.update(live_bytes_breakdown(
+                getattr(inner, "jaxpr", inner), scale, _top=False))
         elif name == "pallas_call":
+            bucket = f"pallas:{eqn.params.get('name', 'kernel')}"
             for v in (*eqn.invars, *eqn.outvars):
-                add(v, scale)
+                add(v, scale, bucket)
         elif name in _MATERIALIZE:
             for v in (*eqn.invars, *eqn.outvars):
-                add(v, scale)
+                add(v, scale, name)
         elif name in _REDUCES:
             for v in eqn.outvars:
-                add(v, scale)
-    return total
+                add(v, scale, name)
+    return dict(out)
 
 
 def io_bytes(jaxpr) -> float:

@@ -71,6 +71,28 @@ def test_pallas_flops_counted_through_grid():
     assert c["mxu_flops"] == 2 * 2 * 64 * 64 * 64  # grid=2 blocks
 
 
+def test_counts_recurse_into_jnp_internal_jits():
+    """jax 0.9 traces jnp helpers (einsum, take_along_axis) as nested
+    `jit` eqns; the walkers must recurse or their dots/gathers vanish
+    from the counts (bug found round 3: the XLA warp's gathers were
+    invisible to the byte floor)."""
+    from atmvfi_tpu.utils.roofline import live_bytes_breakdown
+
+    def f(a, b, idx):
+        y = jnp.einsum("ij,jk->ik", a, b)
+        return jnp.take_along_axis(y, idx, axis=1)
+
+    a = jax.ShapeDtypeStruct((64, 32), jnp.float32)
+    b = jax.ShapeDtypeStruct((32, 48), jnp.float32)
+    idx = jax.ShapeDtypeStruct((64, 8), jnp.int32)
+    c = count_flops(f, a, b, idx)
+    assert c["mxu_flops"] == 2 * 64 * 32 * 48  # the einsum dot
+    jaxpr = jax.make_jaxpr(f)(a, b, idx)
+    bd = live_bytes_breakdown(jaxpr.jaxpr)
+    assert "gather" in bd and bd["gather"] > 0
+    assert "dot_general" in bd and bd["dot_general"] > 0
+
+
 def test_model_roofline_smoke():
     r = model_roofline("lite", H=128, W=384)
     assert r["mxu_tflop"] > 0 and r["hbm_gb_min"] > 0
