@@ -11,8 +11,16 @@ LOG=/tmp/hwq
 mkdir -p $LOG
 cd /root/repo
 
+# Stop STARTING new steps after this instant so the device claim is
+# free for the driver's round-end bench (override: HWQ_DEADLINE=<epoch>).
+DEADLINE=${HWQ_DEADLINE:-$(date -d '2026-08-19 07:30 UTC' +%s)}
+
 run() { # run <timeout_s> <name> <cmd...>
   local t=$1 name=$2; shift 2
+  if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "=== $name SKIPPED (past deadline $(date -d @$DEADLINE +%H:%M))"
+    return
+  fi
   echo "=== $name start $(date +%H:%M:%S)"
   timeout -s KILL "$t" "$@" > "$LOG/$name.log" 2>&1
   echo "=== $name rc=$? end $(date +%H:%M:%S)"
