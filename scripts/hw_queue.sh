@@ -27,8 +27,12 @@ run() { # run <timeout_s> <name> <cmd...>
   sleep 5
 }
 
-# liveness gate
-timeout -s KILL 300 python -u -c "
+# liveness gate. 900 s: a healthy relay can still take 90-300 s to
+# establish a fresh process's device claim on the FIRST readback
+# (measured 2026-08-19: 88.8 s and 292 s in back-to-back probes,
+# 30 ms steady-state after) — 300 s here produced false "relay dead"
+# aborts.
+timeout -s KILL 900 python -u -c "
 import jax, jax.numpy as jnp
 print('RELAY_OK', float(jax.jit(lambda a: a.sum())(jnp.ones((8,128)))))
 " > $LOG/00_liveness.log 2>&1 || { echo "relay dead; abort"; exit 3; }
