@@ -676,9 +676,14 @@ def resolve_warp_impl(impl: str, channels: int) -> Tuple[str, bool]:
     (images, flows, shallow features); wide feature maps keep the XLA
     gather. The NHWC-lane-space variant ('tiled_nhwc') avoids the CHW
     transposes but pays 3x per-lane weight math and an extra gather
-    page — measured net-slower at model level (244 vs 218 ms @1080p),
-    so 'auto' resolves to 'chw'. Forcing a tiled kernel off-TPU runs
-    it in interpret mode (CPU tests).
+    page — measured net-slower at model level (244 vs 218 ms @1080p).
+    'auto' resolves to the span-loop v2 flavor ('chw_v2'): the
+    2026-08-19 v5e A/B (scripts/tpu_warp_v2_ab.py) measured lite-4K
+    544.1 ms/frame with v2 vs 559.4 with v1 in-model (standalone at
+    high flow spread v1 is faster — 31 vs 58 ms/warp at mag 12
+    unchecked — but model flows are small and v2 wins end-to-end).
+    Forcing a tiled kernel off-TPU runs it in interpret mode (CPU
+    tests).
     """
     if impl in ("tiled", "tiled_chw"):
         return "chw", jax.default_backend() != "tpu"
@@ -695,7 +700,7 @@ def resolve_warp_impl(impl: str, channels: int) -> Tuple[str, bool]:
     if impl == "xla":
         return "xla", False
     if jax.default_backend() == "tpu" and channels <= 4:
-        return "chw", False
+        return "chw_v2", False
     return "xla", False
 
 

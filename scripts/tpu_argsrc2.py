@@ -1,0 +1,144 @@
+"""argsrc follow-up: isolate WHICH operand transform makes arg-sourced
+weights diverge on Mosaic, and find a fix that survives flax params.
+
+tpu_argsrc_probe.py (2026-08-19, v5e) measured: the HCW conv route is
+EXACT when weights are computed inline from a key, and diverges
+(max 8.5) when the SAME values arrive as jit arguments — jaxprs
+structurally identical. Leading theory: `pack_conv3x3_weights` ends in
+a transpose; for a parameter source XLA can satisfy it as a layout
+bitcast (no physical copy), so the pallas_call operand lands in HBM in
+a non-default layout that Mosaic reads as if default. Inline sources
+fuse the transpose into the generating computation -> default layout.
+
+Variants (all f32, same shapes as the enc pair: 3->24, 1088x2560):
+  k1 args, plain              (known-bad reproduction)
+  k2 args, PREPACKED host-side (operands ARE params; no transpose in-graph)
+  k3 args, optimization_barrier after pack
+  k4 args, pack from k+0*bias-like arithmetic (force non-bitcast copy)
+  k5 args, bias/slope inline, weights args   (operand isolation)
+  k6 args, weights inline, bias/slope args   (operand isolation)
+
+Run on the axon TPU: python -u scripts/tpu_argsrc2.py
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+sys.path.insert(0, "/root/repo")
+
+from atmvfi_tpu.ops import conv_pallas as cp
+
+B, H, W = 2, 1088, 2560
+C0, C1 = 3, 24
+
+
+def xla_hi(x, k, b, s):
+    y = lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+    ) + b
+    return jnp.maximum(y, 0.0) + s * jnp.minimum(y, 0.0)
+
+
+def kroute(x, k1, b1, s1, k2, b2, s2, tweak=None):
+    xh = cp.nhwc_to_hcw(x)
+    xh = _conv(xh, k1, b1, s1, tweak)
+    xh = _conv(xh, k2, b2, s2, tweak)
+    return cp.hcw_to_nhwc(xh, B, C1, W)
+
+
+def _conv(xh, k, b, s, tweak):
+    dt = xh.dtype
+    kt = cp.pack_conv3x3_weights_padded(k, dt)
+    bb = cp.pad_channel_vec(b, dt)
+    ss = cp.pad_channel_vec(s, dt)
+    if tweak == "barrier":
+        kt = lax.optimization_barrier(tuple(kt))
+        bb, ss = lax.optimization_barrier((bb, ss))
+    return cp.conv3x3_hcw(xh, kt, bb, ss, H=H, w_true=W)
+
+
+def kroute_prepacked(x, kts, bs, ss):
+    xh = cp.nhwc_to_hcw(x)
+    xh = cp.conv3x3_hcw(xh, kts[0], bs[0], ss[0], H=H, w_true=W)
+    xh = cp.conv3x3_hcw(xh, kts[1], bs[1], ss[1], H=H, w_true=W)
+    return cp.hcw_to_nhwc(xh, B, C1, W)
+
+
+def params(key):
+    ks = jax.random.split(key, 6)
+    return (jax.random.normal(ks[0], (3, 3, C0, C1), jnp.float32) * 0.2,
+            jax.random.normal(ks[1], (C1,), jnp.float32) * 0.1,
+            jax.random.normal(ks[2], (C1,), jnp.float32) * 0.2,
+            jax.random.normal(ks[3], (3, 3, C1, C1), jnp.float32) * 0.2,
+            jax.random.normal(ks[4], (C1,), jnp.float32) * 0.1,
+            jax.random.normal(ks[5], (C1,), jnp.float32) * 0.2)
+
+
+def stats(tag, a, b):
+    mx, mn = jax.jit(lambda a, b: (jnp.max(jnp.abs(a - b)),
+                                   jnp.mean(jnp.abs(a - b))))(a, b)
+    print(f"{tag}: max={float(mx):.3e} mean={float(mn):.3e}", flush=True)
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    kw, kx = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.jit(lambda k: jax.random.uniform(
+        k, (B, H, W, C0), jnp.float32))(kx)
+    w = jax.jit(params)(kw)
+
+    # reference: XLA HIGHEST chain with inline weights
+    ref = jax.jit(
+        lambda key, x: xla_hi(xla_hi(x, *params(key)[:3]), *params(key)[3:])
+    )(kw, x)
+
+    (a1,) = jax.jit(lambda x, *w: (kroute(x, *w),))(x, *w)
+    stats("k1 args plain        ", a1, ref)
+
+    # k2: pack on HOST (numpy) so the jit args ARE the packed operands
+    wh = [np.asarray(t) for t in w]
+    kts, bs, ss = [], [], []
+    for i in (0, 3):
+        kts.append(tuple(
+            jnp.asarray(t) for t in cp.pack_conv3x3_weights_padded(
+                jnp.asarray(wh[i]), jnp.float32)))
+        bs.append(jnp.asarray(np.pad(wh[i + 1], (0, 8 - C1 % 8 if C1 % 8 else 0))))
+        ss.append(jnp.asarray(np.pad(wh[i + 2], (0, 8 - C1 % 8 if C1 % 8 else 0))))
+    (a2,) = jax.jit(
+        lambda x, kts, bs, ss: (kroute_prepacked(x, kts, bs, ss),)
+    )(x, kts, bs, ss)
+    stats("k2 prepacked args    ", a2, ref)
+
+    (a3,) = jax.jit(
+        lambda x, *w: (kroute(x, *w, tweak="barrier"),))(x, *w)
+    stats("k3 barrier after pack", a3, ref)
+
+    def k4(x, k1, b1, s1, k2, b2, s2):
+        # arithmetic the compiler cannot bitcast away: k + 0*x-mean
+        eps = 0.0 * jnp.mean(x)
+        return (kroute(x, k1 + eps, b1, s1, k2 + eps, b2, s2),)
+    (a4,) = jax.jit(k4)(x, *w)
+    stats("k4 non-bitcast copy  ", a4, ref)
+
+    def k5(x, k1, k2, key):
+        p = params(key)
+        return (kroute(x, k1, p[1], p[2], k2, p[4], p[5]),
+                xla_hi(xla_hi(x, k1, p[1], p[2]), k2, p[4], p[5]))
+    a5, r5 = jax.jit(k5)(x, w[0], w[3], kw)
+    stats("k5 only-k args       ", a5, r5)
+
+    def k6(x, b1, s1, b2, s2, key):
+        p = params(key)
+        return (kroute(x, p[0], b1, s1, p[3], b2, s2),
+                xla_hi(xla_hi(x, p[0], b1, s1), p[3], b2, s2))
+    a6, r6 = jax.jit(k6)(x, w[1], w[2], w[4], w[5], kw)
+    stats("k6 only-bias/s args  ", a6, r6)
+
+
+if __name__ == "__main__":
+    main()
