@@ -52,9 +52,11 @@ class ATMVFIConfig:
     # removes every full-res NHWC<->HCW transpose between the
     # pre-align warp and the refine head. "off" | "on" (forced; tests
     # run it in interpret mode) | "auto" (on when the HCW conv route
-    # and tiled warp kernel are active). Default off until the Mosaic
-    # path is hardware-validated (relay outage at build time).
-    tail_planar: str = "off"
+    # and tiled warp kernel are active). Default auto since the
+    # 2026-08-19 device validation: grouped-planes kernel exact on
+    # v5e (scripts/pallas_probe5f, tpu_planar_ab kernel cells) and
+    # lite-4K frame time 527.9 -> 473.4 ms with the tail on.
+    tail_planar: str = "auto"
 
     def fast(self) -> "ATMVFIConfig":
         """Serving profile: unchecked slab warps + composed full-res

@@ -220,36 +220,36 @@ class Network(nn.Module):
           NHWC->HCW transpose of the full-res images exists, and the
           input path differs entirely from the one the unexplained
           Mosaic divergence (below) rides on.
-        * HCW kernel-pair route: OPT-IN (ATMVFI_HCW_ENC=1) and
-          exercised by the interpret-mode parity tests
-          (conv_impl='pallas'), but NOT used under 'auto': on real
-          Mosaic this one site diverges from the XLA path by up to the
-          feature magnitude IN-MODEL (demo golden 58.0 -> 50.2 dB)
-          while the identical op sequence probed standalone at the
-          identical shapes is exact to 3e-6 — unexplained; see
-          scripts/tpu_enc_drill.py and PERF_NOTES (round-2 debugging).
-        * XLA NHWC convs (default)."""
+        * HCW kernel-pair route: on under 'auto' at qualifying shapes.
+          (History: this site diverged in-model on Mosaic for round 2
+          — demo golden 58.0 -> 50.2 dB — while standalone probes were
+          exact. Root-caused 2026-08-19: the trigger was the weights
+          arriving as jit ARGUMENTS with a small first-conv pack —
+          scripts/tpu_argsrc2.py k10 — not the model context; fixed at
+          the source by pack_conv3x3_weights' provenance defense, and
+          the full argsrc matrix now measures exact on v5e.)
+        * XLA NHWC convs (fallback)."""
         import os
 
         from atmvfi_tpu.ops import conv_pallas as cp
 
+        conv_a, conv_b = self.feat_extracts[0], self.feat_extracts[1]
+        B2, H, W = x.shape[0], x.shape[1], x.shape[2]
+        use, interp = cp.resolve_conv_impl(self.cfg.conv_impl, x.shape)
+        pair_ch = [(3, conv_a.features),
+                   (conv_a.features, conv_b.features)]
+        pair_ok = (
+            use
+            and cp.hcw_channels_profitable(pair_ch, self.cfg.dtype)
+            and cp.conv_run_fits(cp.lane_pad(W), pair_ch, self.cfg.dtype)
+        )
         enc_route = _hcw_route_on("enc") and (
-            self.cfg.conv_impl == "pallas"
+            pair_ok
+            or self.cfg.conv_impl == "pallas"
             or os.environ.get("ATMVFI_HCW_ENC") == "1"
         )
-        conv_a, conv_b = self.feat_extracts[0], self.feat_extracts[1]
-        planes_route = False
-        if img_planes is not None and _hcw_route_on("encp"):
-            B2, H, W = x.shape[0], x.shape[1], x.shape[2]
-            use, interp = cp.resolve_conv_impl(self.cfg.conv_impl, x.shape)
-            pair_ch = [(3, conv_a.features),
-                       (conv_a.features, conv_b.features)]
-            planes_route = (
-                use
-                and cp.hcw_channels_profitable(pair_ch, self.cfg.dtype)
-                and cp.conv_run_fits(cp.lane_pad(W), pair_ch,
-                                     self.cfg.dtype)
-            )
+        planes_route = (img_planes is not None and pair_ok
+                        and _hcw_route_on("encp"))
         feats = []
         xh = None  # HCW carry of the planes route (+ its true dims)
         for i in range(self.cfg.pyramid_level):

@@ -56,6 +56,16 @@ def pack_conv3x3_weights(k_hwio: jnp.ndarray):
     output side."""
     kh, kw, cin, cout = k_hwio.shape
     assert kh == 3 and kw == 3
+    # WEIGHT-PROVENANCE DEFENSE (measured 2026-08-19, v5e,
+    # scripts/tpu_argsrc2.py): when k is a jit ARGUMENT (flax param),
+    # XLA satisfies this pad/slice/reshape/transpose chain without a
+    # physical default-layout copy for small packs ((Cout,3Cin) =
+    # (24,24) diverges by feature magnitude; (24,72) is exact), and
+    # Mosaic reads the operand as if default-layout. `+ 0*sum(k)` is
+    # un-foldable under IEEE (k could hold inf/NaN) and forces a real
+    # materialization — k7 measured exact, optimization_barrier does
+    # NOT work (k3), inline-generated weights never hit this (j1/k9).
+    k_hwio = k_hwio + 0.0 * jnp.sum(k_hwio)
     # [dy, dx, ci, co] -> per dx: [dy*ci, co] -> [co, 3ci]
     return tuple(
         k_hwio[:, dx].reshape(3 * cin, cout).T for dx in range(3)
@@ -301,13 +311,27 @@ def conv3x3_hcw(x: jnp.ndarray, kt, bias: jnp.ndarray,
 def _kernel_planes(*refs, BH, H, W, Wt, Cf, Cin, Cout, TW, CHUNK, n_wt,
                    prelu, out_dtype, precision):
     """conv3x3 over [HCW feat ‖ planar images]: the feat part DMAs like
-    _kernel into slab channels [0, Cf); each image PLANE [BH, W] DMAs
-    into one slab sublane slice (channel Cf+p) — so C=3 images feed the
-    conv without ever materializing an NHWC->HCW transpose (the refiner
-    proj consumes five of them at full resolution). planes_ref must
-    hold Cin - Cf planes (zero-padded stack), so every slab channel is
-    DMA-written. Cf == 0 is the planes-only form (the encoder's first
-    conv consumes the raw frames as planes): no x input exists."""
+    _kernel into slab channels [0, Cf); the image planes arrive as a
+    GROUPED stack [NG, BH, 8, W] (to_grouped_planes) and each group
+    DMAs into an 8-channel slab range [Cf+8g, Cf+8g+8) — so C=3 images
+    feed the conv without ever materializing a full NHWC->HCW transpose
+    (the refiner proj consumes five of them at full resolution). The
+    groups must cover Cin - Cf channels (zero-padded), so every slab
+    channel is DMA-written. Cf == 0 is the planes-only form (the
+    encoder's first conv consumes the raw frames as planes): no x
+    input exists.
+
+    Why grouped (measured 2026-08-19 on v5e, scripts/pallas_probe5*):
+    a flat [NP, BH, W] stack puts image ROWS in the memref's tiled
+    sublane dim, where Mosaic requires 8-multiple slice SHAPES and
+    PROVABLY 8-aligned dynamic starts (clip(8k-1,...) is neither), and
+    per-plane slab writes are single-channel sublane slices, which
+    Mosaic rejects on multi-lane-tile slabs (f32 allows them only at
+    one lane tile; bf16 never). The grouped layout puts rows in an
+    UNTILED dim (any dynamic start, any count — probe5c s3/s5) and
+    makes the slab write an aligned 8-channel RANGE (probe5d d6/d9),
+    legal for both dtypes at any width, so the 10-row double-buffered
+    slab geometry is shared with the feat kernel."""
     if Cf:
         (x_ref, planes_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref,
          slope_ref, out_ref, slab_ref, sem) = refs
@@ -318,7 +342,7 @@ def _kernel_planes(*refs, BH, H, W, Wt, Cf, Cin, Cout, TW, CHUNK, n_wt,
     n_t = pl.num_programs(0)
     rb = t // n_wt
     wt = t % n_wt
-    NP = Cin - Cf
+    NG = (Cin - Cf) // 8
 
     def transfer(slot, tile, start):
         trb = tile // n_wt
@@ -337,12 +361,13 @@ def _kernel_planes(*refs, BH, H, W, Wt, Cf, Cin, Cout, TW, CHUNK, n_wt,
                                 pl.ds(col_dst, width)],
                     sem.at[slot, 0],
                 ))
-            for p in range(NP):
+            for g in range(NG):
                 go(pltpu.make_async_copy(
-                    planes_ref.at[p, pl.ds(row_start, 10),
+                    planes_ref.at[g, pl.ds(row_start, 10), :,
                                   pl.ds(col_src, width)],
-                    slab_ref.at[slot, :, Cf + p, pl.ds(col_dst, width)],
-                    sem.at[slot, 1 + p],
+                    slab_ref.at[slot, :, pl.ds(Cf + 8 * g, 8),
+                                pl.ds(col_dst, width)],
+                    sem.at[slot, 1 + g],
                 ))
 
         if n_wt == 1:
@@ -448,18 +473,21 @@ def pack_conv3x3_weights_split(k_hwio: jnp.ndarray, cf_true: int,
     return pack_conv3x3_weights(k_eff), cin_pad, cf_pad
 
 
-def pad_plane_stack(planes: jnp.ndarray, np_pad: int) -> jnp.ndarray:
-    """[NP, BH, W] -> [np_pad, BH, W] with zero planes appended, so the
-    planes kernel DMA-writes every slab channel (uninitialized VMEM
-    could hold NaN patterns that survive 0-weight matmuls)."""
-    extra = np_pad - planes.shape[0]
-    assert extra >= 0
-    if extra == 0:
-        return planes
-    return jnp.concatenate(
-        [planes, jnp.zeros((extra,) + planes.shape[1:], planes.dtype)],
-        axis=0,
-    )
+def to_grouped_planes(planes: jnp.ndarray, np_pad: int) -> jnp.ndarray:
+    """[NP, BH, W] -> GROUPED [np_pad/8, BH, 8, W] with zero planes
+    appended, so the planes kernel DMA-writes every slab channel
+    (uninitialized VMEM could hold NaN patterns that survive 0-weight
+    matmuls). The grouped layout is the only plane form whose slab DMA
+    is Mosaic-legal at model widths — see _kernel_planes. The pad +
+    regroup fuse into the one XLA copy the zero-pad already cost."""
+    NP, BH, W = planes.shape
+    extra = np_pad - NP
+    assert extra >= 0 and np_pad % 8 == 0
+    if extra:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((extra, BH, W), planes.dtype)], axis=0
+        )
+    return planes.reshape(np_pad // 8, 8, BH, W).transpose(0, 2, 1, 3)
 
 
 def conv3x3_hcw_planes(x_hcw: jnp.ndarray, planes: jnp.ndarray, kt,
@@ -469,11 +497,14 @@ def conv3x3_hcw_planes(x_hcw: jnp.ndarray, planes: jnp.ndarray, kt,
     """conv3x3+bias(+PReLU) over [HCW feat ‖ image planes].
 
     x_hcw: [B*H, Cf_pad, W] or None (planes-only form, Cf == 0 — the
-    encoder's first conv); planes: [NP, B*H, W] zero-padded stack with
-    Cf_pad + NP == Cin_pad (pad_plane_stack); kt from
-    pack_conv3x3_weights_split. Same constraints as conv3x3_hcw.
+    encoder's first conv); planes: GROUPED zero-padded stack
+    [NG, B*H, 8, W] with Cf_pad + 8*NG == Cin_pad (to_grouped_planes);
+    kt from pack_conv3x3_weights_split. Same constraints as
+    conv3x3_hcw.
     """
-    NP, BH, W = planes.shape
+    NG, BH, G, W = planes.shape
+    assert G == 8, planes.shape
+    NP = 8 * NG
     Cf = 0 if x_hcw is None else x_hcw.shape[1]
     dt = planes.dtype if x_hcw is None else x_hcw.dtype
     Cin = Cf + NP
@@ -522,7 +553,7 @@ def conv3x3_hcw_planes(x_hcw: jnp.ndarray, planes: jnp.ndarray, kt,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 10, Cin, TW + 2 * LANE), dt),
-            pltpu.SemaphoreType.DMA((2, 1 + NP)),
+            pltpu.SemaphoreType.DMA((2, 1 + NG)),
         ],
     )
     return pl.pallas_call(
@@ -576,7 +607,7 @@ def conv3x3_hcw_planes_op(x_hcw, planes, k_hwio, bias, slope, H: int,
     dt = x_hcw.dtype
     kt, cin_pad, cf_pad = pack_conv3x3_weights_split(k_hwio, cf_true, dt)
     assert cf_pad == x_hcw.shape[1], (cf_pad, x_hcw.shape)
-    planes_p = pad_plane_stack(planes.astype(dt), cin_pad - cf_pad)
+    planes_p = to_grouped_planes(planes.astype(dt), cin_pad - cf_pad)
     return conv3x3_hcw_planes(
         x_hcw, planes_p, kt, pad_channel_vec(bias, dt),
         pad_channel_vec(slope, dt) if prelu else None,
@@ -615,7 +646,7 @@ def conv3x3_planes_only_op(planes, k_hwio, bias, slope, H: int,
     dtype; k_hwio: [3, 3, C, Cout] f32. Returns [B*H, pad(Cout), W]."""
     dt = planes.dtype
     kt, cin_pad, _ = pack_conv3x3_weights_split(k_hwio, 0, dt)
-    planes_p = pad_plane_stack(planes, cin_pad)
+    planes_p = to_grouped_planes(planes, cin_pad)
     return conv3x3_hcw_planes(
         None, planes_p, kt, pad_channel_vec(bias, dt),
         pad_channel_vec(slope, dt) if prelu else None,

@@ -43,6 +43,10 @@ def pack_deconv2x_weights(k_hwio: jnp.ndarray, act_dtype=jnp.float32):
     """[2, 2, Cin, Cout] -> four [Cout_pad, Cin_pad] (dy, dx order)."""
     kh, kw, cin, cout = k_hwio.shape
     assert kh == 2 and kw == 2
+    # weight-provenance defense — see pack_conv3x3_weights (argsrc2
+    # probe): arg-sourced small weight packs can reach Mosaic in a
+    # non-default layout; the un-foldable 0*sum forces a real copy.
+    k_hwio = k_hwio + 0.0 * jnp.sum(k_hwio)
     cinp = channel_pad(cin, act_dtype)
     coutp = channel_pad(cout, act_dtype)
     if (cinp, coutp) != (cin, cout):

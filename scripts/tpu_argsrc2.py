@@ -140,5 +140,47 @@ def main():
     stats("k6 only-bias/s args  ", a6, r6)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--extra" not in sys.argv:
     main()
+
+
+def extra_cells():
+    """k7-k10 (2026-08-19 follow-up): pin the corrupting conv + a
+    self-contained fix. k4 proved `k + 0*reduce(x)` fixes arg-sourced
+    weights; k7 validates the x-independent form 0*sum(k). k9/k10
+    isolate WHICH conv of the pair corrupts (the model's decoder HCW
+    sites run param weights and are exact in the demo, so the trigger
+    may be Cin==one-sublane-tile)."""
+    print("backend:", jax.default_backend(), flush=True)
+    kw, kx = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.jit(lambda k: jax.random.uniform(
+        k, (B, H, W, C0), jnp.float32))(kx)
+    w = jax.jit(params)(kw)
+    ref = jax.jit(
+        lambda key, x: xla_hi(xla_hi(x, *params(key)[:3]), *params(key)[3:])
+    )(kw, x)
+
+    def k7(x, k1, b1, s1, k2, b2, s2):
+        f1 = k1 + 0.0 * jnp.sum(k1)
+        f2 = k2 + 0.0 * jnp.sum(k2)
+        return (kroute(x, f1, b1, s1, f2, b2, s2),)
+    (a7,) = jax.jit(k7)(x, *w)
+    stats("k7 fix 0*sum(k)      ", a7, ref)
+
+    def k9(x, k2, key):
+        p = params(key)
+        return (kroute(x, p[0], p[1], p[2], k2, p[4], p[5]),
+                xla_hi(xla_hi(x, *p[:3]), k2, p[4], p[5]))
+    a9, r9 = jax.jit(k9)(x, w[3], kw)
+    stats("k9 only conv2 k arg  ", a9, r9)
+
+    def k10(x, k1, key):
+        p = params(key)
+        return (kroute(x, k1, p[1], p[2], p[3], p[4], p[5]),
+                xla_hi(xla_hi(x, k1, p[1], p[2]), *p[3:]))
+    a10, r10 = jax.jit(k10)(x, w[0], kw)
+    stats("k10 only conv1 k arg ", a10, r10)
+
+
+if __name__ == "__main__" and "--extra" in sys.argv:
+    extra_cells()
