@@ -18,23 +18,21 @@ Design notes (TPU):
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-
-@functools.lru_cache(maxsize=64)
-def _base_grid(h: int, w: int):
-    """Pixel-coordinate grid [H, W, 2] with (x, y) channel order."""
-    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    return np.stack([xs, ys], axis=-1).astype(np.float32)
 
 
 def coords_grid(b: int, h: int, w: int) -> jnp.ndarray:
-    """[B, H, W, 2] (x, y) pixel grid. Parity: flow_warp.py:7-23 (NHWC)."""
-    grid = jnp.asarray(_base_grid(h, w))
+    """[B, H, W, 2] (x, y) pixel grid. Parity: flow_warp.py:7-23 (NHWC).
+
+    iota-generated (an on-device op XLA fuses into consumers), NOT a
+    numpy constant: a materialized [H, W, 2] literal lands in the
+    default layout with the 2-vector in the lane dim — 64x tile
+    padding, ~4 GB of HBM at 4K, permanently resident as a 'global'
+    allocation in every graph that embeds it."""
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    grid = jnp.stack([xs, ys], axis=-1)
     return jnp.broadcast_to(grid, (b, h, w, 2))
 
 
@@ -47,12 +45,23 @@ def grid_sample_bilinear(
     align_corners=True). Returns [B, Ho, Wo, C] (and optionally the
     in-range mask [B, Ho, Wo] like bilinear_sample(return_mask=True)).
     """
-    B, H, W, C = img.shape
-    _, Ho, Wo, _ = coords.shape
-    orig_dtype = img.dtype
     cdtype = jnp.promote_types(coords.dtype, jnp.float32)
-    x = coords[..., 0].astype(cdtype)
-    y = coords[..., 1].astype(cdtype)
+    return _sample_xy(
+        img,
+        coords[..., 0].astype(cdtype),
+        coords[..., 1].astype(cdtype),
+        return_mask,
+    )
+
+
+def _sample_xy(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+               return_mask: bool = False):
+    """grid_sample_bilinear on per-component coords [B, Ho, Wo] — the
+    internal form: no [.., 2]-last tensor exists anywhere, so nothing
+    can materialize in the 64x-padded channels-last default layout."""
+    B, H, W, C = img.shape
+    _, Ho, Wo = x.shape
+    orig_dtype = img.dtype
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -129,7 +138,12 @@ def flow_warp(feature: jnp.ndarray, flow: jnp.ndarray, return_mask: bool = False
     """Backward-warp `feature` [B, H, W, C] by `flow` [B, H, W, 2] (x, y).
 
     Parity: flow_warp (reference flow_warp.py:50-60), NHWC layout.
+    Coords are built per component (iota + flow channel) so no
+    [B, H, W, 2] coordinate tensor is ever materialized (see
+    coords_grid on why that layout costs 64x).
     """
     b, h, w, _ = feature.shape
-    coords = coords_grid(b, h, w).astype(flow.dtype) + flow
-    return grid_sample_bilinear(feature, coords, return_mask=return_mask)
+    cdtype = jnp.promote_types(flow.dtype, jnp.float32)
+    x = jax.lax.broadcasted_iota(cdtype, (h, w), 1) + flow[..., 0].astype(cdtype)
+    y = jax.lax.broadcasted_iota(cdtype, (h, w), 0) + flow[..., 1].astype(cdtype)
+    return _sample_xy(feature, x, y, return_mask)

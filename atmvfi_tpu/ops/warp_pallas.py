@@ -75,8 +75,8 @@ def _kernel(ymin_ref, xmin_ref, img_ref, flow_ref, out_ref, slab_ref, sem,
     y_img = gr - b * H
     x = tw * TILE_W + cols
 
-    fx = flow_ref[:, :, 0]
-    fy = flow_ref[:, :, 1]
+    fx = flow_ref[0]  # planar [2, th, tw] flow block: no lane padding
+    fy = flow_ref[1]
     sx = x.astype(jnp.float32) + fx
     sy = y_img.astype(jnp.float32) + fy
     x0f = jnp.floor(sx)
@@ -209,8 +209,8 @@ def _kernel_v2(ymin_ref, xmin_ref, img_ref, flow_ref, out_ref, slab_ref,
     y_img = gr - b * H
     x = tw * TILE_W + cols
 
-    fx = flow_ref[:, :, 0]
-    fy = flow_ref[:, :, 1]
+    fx = flow_ref[0]  # planar [2, th, tw] flow block: no lane padding
+    fy = flow_ref[1]
     sx = x.astype(jnp.float32) + fx
     sy = y_img.astype(jnp.float32) + fy
     x0f = jnp.floor(sx)
@@ -301,7 +301,9 @@ def _kernel_blend(ymin0_ref, xmin0_ref, ymin1_ref, xmin1_ref,
     one output stream + the separate blend pass + the layout copies
     around them versus two flow_warp calls (VERDICT round-1 item 1).
 
-    flow_ref packs [fx0, fy0, fx1, fy1, occ] as 5 channels.
+    flow_ref packs [fx0, fy0, fx1, fy1, occ] as 5 PLANES (leading dim
+    of a [5, B*H, W] operand — channels-last packing would put the 5 in
+    the lane dim and pad every tile 25.6x).
     """
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -416,13 +418,11 @@ def _kernel_blend(ymin0_ref, xmin0_ref, ymin1_ref, xmin1_ref,
                     acc_ref[img, ch] += acc
 
     slab_dma(0, slot, ymin0_ref, xmin0_ref, t).wait()
-    accumulate(0, flow_ref[:, :, 0], flow_ref[:, :, 1],
-               ymin0_ref[t], xmin0_ref[t])
+    accumulate(0, flow_ref[0], flow_ref[1], ymin0_ref[t], xmin0_ref[t])
     slab_dma(1, slot, ymin1_ref, xmin1_ref, t).wait()
-    accumulate(1, flow_ref[:, :, 2], flow_ref[:, :, 3],
-               ymin1_ref[t], xmin1_ref[t])
+    accumulate(1, flow_ref[2], flow_ref[3], ymin1_ref[t], xmin1_ref[t])
 
-    occ = flow_ref[:, :, 4]
+    occ = flow_ref[4]
     for ch in range(C):
         out_ref[ch] = (
             occ * acc_ref[0, ch] + (1 - occ) * acc_ref[1, ch]
@@ -756,9 +756,9 @@ def _pallas_path(img_chw, flow, ymin_blk, xmin_blk, *, H, W, C, S, B, dtype,
         grid=(n_t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # img stays in HBM
-            pl.BlockSpec(  # flow tile
-                (TILE_H, TILE_W, 2),
-                lambda t, ymin, xmin: (t // n_tw, t % n_tw, 0),
+            pl.BlockSpec(  # planar [2, BH, W] flow: padding-free tiles
+                (2, TILE_H, TILE_W),
+                lambda t, ymin, xmin: (0, t // n_tw, t % n_tw),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -788,26 +788,41 @@ def _slab_extents(flow: jnp.ndarray, B: int, H: int, W: int, S: int):
     origins are (8, 128)-aligned [n_th, n_tw] int32 grids in (B*H row,
     col) space and `ok` is True iff every tile's 4-tap source extent
     fits an (S x 384) slab anchored there.
+
+    Computed PER COMPONENT on [B, H, W] arrays: the earlier stacked
+    form materialized a [1, H, W, 2] meshgrid CONSTANT plus s32
+    intermediates whose channels-last 2-vector lands in the lane dim
+    under the default layout — 64x tile padding, 3.98 GB for the
+    constant alone at 4K (it OOM'd the fast-profile graph and sat in
+    every checked-warp graph as a global allocation). broadcasted_iota
+    generates, XLA fuses, nothing [.., 2]-shaped is ever stored.
     """
     BH = B * H
     n_th, n_tw = BH // TILE_H, W // TILE_W
-    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    base = jnp.asarray(np.stack([xs, ys], -1)[None], jnp.float32)
-    t0 = jnp.floor(base + flow.astype(jnp.float32)).astype(jnp.int32)
-    hi = jnp.asarray([W - 1, H - 1], jnp.int32)
-    tmin = jnp.clip(t0, 0, hi)  # [B, H, W, 2] clipped top taps
-    tmax = jnp.clip(t0 + 1, 0, hi)  # independently-clipped bottom taps
+    fx = flow[..., 0].astype(jnp.float32)  # [B, H, W]
+    fy = flow[..., 1].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    row = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x0 = jnp.floor(col + fx).astype(jnp.int32)  # top-left taps
+    y0 = jnp.floor(row + fy).astype(jnp.int32)
     boff = (jnp.arange(B, dtype=jnp.int32) * H)[:, None, None]
-    tmin = tmin.at[..., 1].add(boff)
-    tmax = tmax.at[..., 1].add(boff)
-    mins = tmin.reshape(n_th, TILE_H, n_tw, TILE_W, 2).min(axis=(1, 3))
-    maxs = tmax.reshape(n_th, TILE_H, n_tw, TILE_W, 2).max(axis=(1, 3))
+    # independently-clipped top/bottom taps, in (B*H row, col) space
+    xmin_t = jnp.clip(x0, 0, W - 1)
+    xmax_t = jnp.clip(x0 + 1, 0, W - 1)
+    ymin_t = jnp.clip(y0, 0, H - 1) + boff
+    ymax_t = jnp.clip(y0 + 1, 0, H - 1) + boff
+
+    def per_tile(a, op):
+        return op(a.reshape(n_th, TILE_H, n_tw, TILE_W), axis=(1, 3))
+
     # DMA origins must be (8, 128)-aligned; 3 column pages keep >= 255
     # columns of budget after alignment waste
-    ymin_blk = (jnp.clip(mins[..., 1], 0, BH - S) // TILE_H) * TILE_H
-    xmin_blk = (jnp.clip(mins[..., 0], 0, W - 3 * TILE_W) // TILE_W) * TILE_W
-    ok_y = jnp.all(maxs[..., 1] - ymin_blk <= S - 1)
-    ok_x = jnp.all(maxs[..., 0] - xmin_blk <= 3 * TILE_W - 1)
+    ymin_blk = (jnp.clip(per_tile(ymin_t, jnp.min), 0, BH - S)
+                // TILE_H) * TILE_H
+    xmin_blk = (jnp.clip(per_tile(xmin_t, jnp.min), 0, W - 3 * TILE_W)
+                // TILE_W) * TILE_W
+    ok_y = jnp.all(per_tile(ymax_t, jnp.max) - ymin_blk <= S - 1)
+    ok_x = jnp.all(per_tile(xmax_t, jnp.max) - xmin_blk <= 3 * TILE_W - 1)
     return ymin_blk, xmin_blk, ok_y & ok_x
 
 
@@ -850,7 +865,10 @@ def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
     # T(4,128)-tiled C=3 NHWC form, which made XLA's conditional
     # boundary copies a measurable cost (~6 ms/warp at 4K)
     img_chw = feature.astype(jnp.float32).reshape(BH, W, C).transpose(2, 0, 1)
-    flow_f = flow.astype(jnp.float32).reshape(BH, W, 2)
+    # planar [2, BH, W] flow operand: the [BH, W, 2] form's default
+    # custom-call layout puts the 2-vector in lanes — 64x tile padding
+    # in HBM and in the kernel's VMEM flow blocks
+    flow_f = flow.astype(jnp.float32).reshape(BH, W, 2).transpose(2, 0, 1)
 
     def fast(args):
         img_chw, flow_f, ymin_blk, xmin_blk = args
@@ -865,7 +883,8 @@ def flow_warp_tiled(feature: jnp.ndarray, flow: jnp.ndarray,
         # to match the fast branch's planar result layout
         img_chw, flow_f, _, _ = args
         feat = img_chw.transpose(1, 2, 0).reshape(B, H, W, C)
-        out = warp_xla.flow_warp(feat, flow_f.reshape(B, H, W, 2))
+        f = flow_f.transpose(1, 2, 0).reshape(B, H, W, 2)
+        out = warp_xla.flow_warp(feat, f)
         return out.reshape(BH, W, C).transpose(2, 0, 1)
 
     if unchecked:
@@ -925,7 +944,7 @@ def flow_warp_tiled_planar(img_chw: jnp.ndarray, flow: jnp.ndarray,
         return xla_planar(img_chw, flow)
 
     ymin_blk, xmin_blk, ok = _slab_extents(flow, B, H, W, S)
-    flow_f = flow.astype(jnp.float32).reshape(BH, W, 2)
+    flow_f = flow.astype(jnp.float32).reshape(BH, W, 2).transpose(2, 0, 1)
 
     def fast(args):
         img_chw, flow_f, ymin_blk, xmin_blk = args
@@ -937,7 +956,8 @@ def flow_warp_tiled_planar(img_chw: jnp.ndarray, flow: jnp.ndarray,
 
     def slow(args):
         img_chw, flow_f, _, _ = args
-        return xla_planar(img_chw, flow_f.reshape(B, H, W, 2))
+        return xla_planar(
+            img_chw, flow_f.transpose(1, 2, 0).reshape(B, H, W, 2))
 
     args = (img_chw, flow_f, ymin_blk, xmin_blk)
     if unchecked:
@@ -1013,8 +1033,8 @@ def _pair_core(img0_chw, img1_chw, flow0, flow1, *, B, H, W, C, S,
     ymin0, xmin0, ok0 = _slab_extents(flow0, B, H, W, S)
     ymin1, xmin1, ok1 = _slab_extents(flow1, B, H, W, S)
     ok = ok0 & ok1
-    f0 = flow0.astype(jnp.float32).reshape(BH, W, 2)
-    f1 = flow1.astype(jnp.float32).reshape(BH, W, 2)
+    f0 = flow0.astype(jnp.float32).reshape(BH, W, 2).transpose(2, 0, 1)
+    f1 = flow1.astype(jnp.float32).reshape(BH, W, 2).transpose(2, 0, 1)
 
     def one(img, f, ymin, xmin):
         return _pallas_path(
@@ -1032,7 +1052,8 @@ def _pair_core(img0_chw, img1_chw, flow0, flow1, *, B, H, W, C, S,
 
         def xla_planar(img, f):
             feat = img.transpose(1, 2, 0).reshape(B, H, W, C)
-            out = warp_xla.flow_warp(feat, f.reshape(B, H, W, 2))
+            fn = f.transpose(1, 2, 0).reshape(B, H, W, 2)
+            out = warp_xla.flow_warp(feat, fn)
             return out.reshape(BH, W, C).transpose(2, 0, 1)
 
         return xla_planar(i0, f0), xla_planar(i1, f1)
@@ -1161,9 +1182,9 @@ def _pallas_blend_path(img0_chw, img1_chw, flow_cat, ymin0, xmin0, ymin1,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # img0 stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # img1 stays in HBM
-            pl.BlockSpec(  # packed [fx0, fy0, fx1, fy1, occ] tile
-                (TILE_H, TILE_W, 5),
-                lambda t, *_: (t // n_tw, t % n_tw, 0),
+            pl.BlockSpec(  # packed [fx0, fy0, fx1, fy1, occ] planes
+                (5, TILE_H, TILE_W),
+                lambda t, *_: (0, t // n_tw, t % n_tw),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -1221,10 +1242,12 @@ def flow_warp_blend_tiled(im0: jnp.ndarray, im1: jnp.ndarray,
     dtype = im0.dtype
     img0_chw = im0.astype(jnp.float32).reshape(BH, W, C).transpose(2, 0, 1)
     img1_chw = im1.astype(jnp.float32).reshape(BH, W, C).transpose(2, 0, 1)
+    # planar [5, BH, W] packing — channels-last would pad every flow
+    # tile 25.6x (5 -> 128 lanes) in HBM and VMEM
     flow_cat = jnp.concatenate(
         [flow0.astype(jnp.float32), flow1.astype(jnp.float32),
          occ.astype(jnp.float32)], axis=-1,
-    ).reshape(BH, W, 5)
+    ).reshape(BH, W, 5).transpose(2, 0, 1)
 
     def fast(args):
         img0_chw, img1_chw, flow_cat, ymin0, xmin0, ymin1, xmin1 = args
@@ -1239,7 +1262,7 @@ def flow_warp_blend_tiled(im0: jnp.ndarray, im1: jnp.ndarray,
         img0_chw, img1_chw, flow_cat, *_ = args
         a0 = img0_chw.transpose(1, 2, 0).reshape(B, H, W, C)
         a1 = img1_chw.transpose(1, 2, 0).reshape(B, H, W, C)
-        f = flow_cat.reshape(B, H, W, 5)
+        f = flow_cat.transpose(1, 2, 0).reshape(B, H, W, 5)
         out = compose(a0, a1, f[..., 0:2], f[..., 2:4], f[..., 4:5])
         return out.reshape(BH, W, C).transpose(2, 0, 1)
 
