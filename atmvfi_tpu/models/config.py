@@ -57,6 +57,12 @@ class ATMVFIConfig:
     # v5e (scripts/pallas_probe5f, tpu_planar_ab kernel cells) and
     # lite-4K frame time 527.9 -> 473.4 ms with the tail on.
     tail_planar: str = "auto"
+    # admit 161-256 padded channels into the HCW conv routes. The
+    # kernel wins these widths STANDALONE on both models, but in-model
+    # the band is context-dependent: lite's 240-ch decoder pairs win
+    # (+0.45-0.5 fps) while base's 208-ch sites lose ~21 ms/frame at
+    # 1080p (v5e A/Bs, 2026-08-19) — per-preset measured default.
+    hcw_wide_channels: bool = False
 
     def fast(self) -> "ATMVFIConfig":
         """Serving profile: unchecked slab warps + composed full-res
@@ -125,6 +131,7 @@ LITE = ATMVFIConfig(
     mlp_ratio=2.0,
     local_mlp_hidden_ratio=0.5,
     global_mlp_hidden=352,  # concat_dim(352) * 2 * 0.5 (network_lite.py:202)
+    hcw_wide_channels=True,
     last_feat_extra=32,
     refine_hidden=32,
 )

@@ -382,7 +382,8 @@ class Network(nn.Module):
             use and _hcw_route_on("dec") and (B * h) % 4 == 0
             # deconv cin is exempt from the channel gate: the deconv is
             # pure MXU matmul work at any width, unlike the halo convs
-            and cp.hcw_channels_profitable(pair_ch, feat.dtype)
+            and cp.hcw_channels_profitable(
+                pair_ch, feat.dtype, wide=self.cfg.hcw_wide_channels)
             and dp.deconv_fits(wp, cin, deconv.features, feat.dtype)
             and cp.conv_run_fits(2 * wp, pair_ch, feat.dtype)
         )
@@ -417,7 +418,8 @@ class Network(nn.Module):
         pair_ch = [(cin, conv_a.features), (conv_a.features, conv_b.features)]
         use = (
             use and _hcw_route_on("pair")
-            and cp.hcw_channels_profitable(pair_ch, feat.dtype)
+            and cp.hcw_channels_profitable(
+                pair_ch, feat.dtype, wide=self.cfg.hcw_wide_channels)
             and cp.conv_run_fits(cp.lane_pad(W), pair_ch, feat.dtype)
         )
         if not use:
@@ -624,33 +626,92 @@ class Network(nn.Module):
         feat3 = _seq(self.down3,
                      jnp.concatenate([feat2, skips[0]], axis=-1))
         feat2_ = _seq(self.up1, feat3)
-        feat1_ = _seq(self.up2,
-                      jnp.concatenate([feat2_, feat2], axis=-1))
-        cat1 = jnp.concatenate([feat1_, feat1], axis=-1)
+        cat2 = jnp.concatenate([feat2_, feat2], axis=-1)
+
+        # up2 (deconv 1/4 -> 1/2 + conv) in HCW: its XLA conv measured
+        # 11.7 ms standalone at lite-4K's 64->32 @ 1088x1920 vs 2.4 ms
+        # for the kernel WITH transposes (scripts/tpu_conv_shapes_ab
+        # h1, v5e 2026-08-19) — narrow channels at a terrible
+        # T(2,128) layout. When down1 also ran HCW the skip concat
+        # happens in-layout and the whole up2 -> cat1 -> up3 -> head
+        # chain has no full-res-adjacent NHWC round trip.
+        u2d, u2c = self.up2[0], self.up2[1]
+        H2, W2 = cat2.shape[1], cat2.shape[2]
+        H1, W1 = feat1.shape[1], feat1.shape[2]
+        gran = 16 if jnp.dtype(dt).itemsize == 2 else 8
+        use2, interp2 = cp.resolve_conv_impl(
+            self.cfg.conv_impl, (B, H1, W1, u2d.features)
+        )
+        wq = cp.lane_pad(W2)
+        up2_route = (
+            use2 and _hcw_route_on("up2")
+            and 2 * H2 == H1 and 2 * W2 == W1
+            and (B * H2) % 4 == 0 and (B * H1) % 8 == 0
+            and cp.channel_pad(u2c.features, dt) == u2c.features
+            and dp.deconv_fits(wq, cat2.shape[-1], u2d.features, dt)
+            and cp.conv_run_fits(2 * wq, [(u2d.features, u2c.features)], dt)
+            and cp.hcw_channels_profitable(
+                [(u2d.features, u2c.features)], dt)
+        )
+        cat1 = None
+        cat1_hcw = None
+        xh2 = None
+        if up2_route:
+            xcat2 = cp.nhwc_to_hcw(cat2.astype(dt), wq)
+            xh2 = u2d(xcat2, hcw=(cat2.shape[-1], W2), interpret=interp2)
+            xh2 = u2c(xh2, hcw=(u2d.features, H1, W1), interpret=interp2)
+            if use_d1 and cp.channel_pad(d1.features, dt) == d1.features:
+                # skip concat in HCW layout (both operands pad-free in
+                # channels; widths aligned to the wider lane pad)
+                xh1c = xh1
+                if xh1c.shape[2] < xh2.shape[2]:
+                    xh1c = jnp.pad(
+                        xh1c,
+                        ((0, 0), (0, 0), (0, xh2.shape[2] - xh1c.shape[2])),
+                    )
+                cat1_hcw = jnp.concatenate([xh2, xh1c], axis=1)
+            else:
+                cat1 = jnp.concatenate(
+                    [cp.hcw_to_nhwc(xh2, B, u2c.features, W1), feat1],
+                    axis=-1,
+                )
+        else:
+            feat1_ = _seq(self.up2, cat2)
+            cat1 = jnp.concatenate([feat1_, feat1], axis=-1)
 
         hid = self.up3[0].features
-        gran = 16 if jnp.dtype(dt).itemsize == 2 else 8
         head_ch = [(2 * hid, self.refine_head[0].features),
                    (self.refine_head[0].features, self.refine_head[1].features)]
         use_head, interp = cp.resolve_conv_impl(
             self.cfg.conv_impl, (B, H, W, 2 * hid)
         )
         use_head = use_head and cp.hcw_channels_profitable(head_ch, dt)
-        Wh = cat1.shape[2]
-        wph = cp.lane_pad(Wh)
+        Wh = W1
+        cat1_ch = u2c.features + d1.features
+        # the chain carries the 1/2-res lane pad through the up3
+        # deconv; 2*lane_pad(W/4) can exceed lane_pad(W/2) (e.g. 2048
+        # vs 1920 at 4K), so the head then runs slightly wider
+        wph = cat1_hcw.shape[2] if cat1_hcw is not None else cp.lane_pad(Wh)
         # preferred: up3's deconv emits full-res HCW straight into the
         # head pair — the channel concat with feat0 happens in HCW
         # (contiguous true channels when hid is a sublane-tile multiple)
         # and the full-res XLA conv_transpose + its PReLU pass vanish
         deconv_route = (
             use_head and _hcw_route_on("up3") and hid % gran == 0
-            and (B * cat1.shape[1]) % 4 == 0
-            and dp.deconv_fits(wph, cat1.shape[-1], hid, dt)
+            and (B * H1) % 4 == 0
+            and dp.deconv_fits(wph, cat1_ch, hid, dt)
             and cp.conv_run_fits(2 * wph, head_ch, dt)
         )
+        if not deconv_route and cat1 is None:
+            # up2 ran HCW but the up3 deconv route refused: exit here
+            cat1 = jnp.concatenate(
+                [cp.hcw_to_nhwc(xh2, B, u2c.features, W1), feat1],
+                axis=-1,
+            )
         if deconv_route:
-            xcat = cp.nhwc_to_hcw(cat1.astype(dt), wph)
-            xh0_ = self.up3[0](xcat, hcw=(cat1.shape[-1], Wh),
+            xcat = (cat1_hcw if cat1_hcw is not None
+                    else cp.nhwc_to_hcw(cat1.astype(dt), wph))
+            xh0_ = self.up3[0](xcat, hcw=(cat1_ch, Wh),
                                interpret=interp)
             w_full = xh0_.shape[2]  # 2 * the half-res lane pad used
             if feat0_hcw is not None:

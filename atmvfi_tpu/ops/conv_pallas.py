@@ -1113,16 +1113,30 @@ def pad_channel_vec(v: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray:
 
 
 MAX_PROFITABLE_CH = 160
+MAX_PROFITABLE_CH_WIDE = 256  # admitted only with wide=True (per-preset)
 
 
-def hcw_channels_profitable(channel_pairs, dtype) -> bool:
-    """Measured on device: the HCW conv kernel's edge over XLA shrinks
-    as channels grow (3.2x @32ch, 2.8x @64ch, 1.9x @112ch standalone;
-    net-NEGATIVE at 229+ in a 4K model A/B) — once XLA's conv is
-    MXU-efficient the transposes and lane-pad waste eat the win. Gate
-    the conv-pair route at padded channels <= 160."""
+def hcw_channels_profitable(channel_pairs, dtype, wide=False) -> bool:
+    """Measured on device; the frontier is context-dependent:
+
+    - Standalone (2026-08-19 sweeps, scripts/tpu_conv_shapes_ab
+      --frontier + narrow-width cells) the kernel beats XLA at EVERY
+      VMEM-feasible channel width incl. transposes: 2.13x @96ch,
+      1.47 @128, 2.46 @160, 2.10 @192, 1.44-1.75 @229, 1.38 @256,
+      down to padded W = 256 (>= 320ch is infeasible; conv_run_fits
+      rejects).
+    - IN-MODEL the 161-256 band diverges by model: lite's 240-ch
+      decoder pairs win (+0.45-0.5 fps at 1080p/4K) while base's
+      208-ch sites LOSE ~21 ms/frame at 1080p (in-model A/B,
+      /tmp/dec_ab) — the surrounding graph's fusion/layout choices,
+      not the conv itself, decide the band.
+
+    So: padded channels <= 160 always; 161-256 admitted when the
+    caller passes wide=True (per-preset measured knob,
+    cfg.hcw_wide_channels — True for lite, False for base)."""
+    lim = MAX_PROFITABLE_CH_WIDE if wide else MAX_PROFITABLE_CH
     return all(
-        channel_pad(c, dtype) <= MAX_PROFITABLE_CH
+        channel_pad(c, dtype) <= lim
         for p in channel_pairs for c in p
     )
 
