@@ -46,6 +46,29 @@ LANE = 128
 ROWS = 8  # output rows per grid step
 
 
+def _mxu_row_passes(m: int) -> int:
+    """MXU weight-rows passes for an [M, K] x [K, N] matmul: the
+    128x128 systolic array streams all N columns once per 128 weight
+    rows, so time ~ ceil(M/128) * ceil(K/128) * N."""
+    return -(-m // LANE)
+
+
+def stack_dx_profitable(cout: int) -> bool:
+    """Whether stacking the three per-dx weight matrices into ONE
+    [3*Cout, 3*Cin] matmul reduces MXU passes. For narrow outputs
+    (Cout_pad <= 80) three M=Cout matmuls each pay a full N-stream for
+    a fraction of the array's 128 rows; one stacked matmul recovers up
+    to 3x of that time. Never worse: ceil(3C/128) <= 3*ceil(C/128).
+    The dx results come back as static sublane slices of the f32
+    accumulator (offsets are channel_pad multiples). Kill switch:
+    ATMVFI_NO_STACKDX=1 (device-risk gate for the value-slice lowering).
+    """
+    import os
+    if os.environ.get("ATMVFI_NO_STACKDX"):
+        return False
+    return _mxu_row_passes(3 * cout) < 3 * _mxu_row_passes(cout)
+
+
 def pack_conv3x3_weights(k_hwio: jnp.ndarray):
     """[3, 3, Cin, Cout] HWIO -> 3 per-dx matrices [Cout, 3*Cin] with
     (dy, ci)-ordered rows. The kernel runs one matmul per dx over a
@@ -98,10 +121,40 @@ def _pick_plan(W: int, cin: int, cout: int, dtype_bytes: int):
     return best
 
 
-def _kernel(x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref,
-            out_ref, slab_ref, sem,
-            *, BH, H, W, Wt, Cin, Cout, TW, CHUNK, n_wt, prelu, out_dtype,
-            precision):
+def _dx_matmuls(kt_refs, amat, Cout, precision):
+    """The per-dx contraction: either three [Cout, 3Cin] matmuls or one
+    stacked [3*Cout, 3Cin] matmul whose result is sliced back into the
+    three per-dx planes (sublane offsets at channel_pad multiples).
+    Returns [ms0, ms1, ms2], each [Cout, N] f32."""
+    if len(kt_refs) == 1:
+        m = jax.lax.dot_general(
+            kt_refs[0][...], amat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [3*Cout, N] f32
+        return [m[i * Cout : (i + 1) * Cout] for i in range(3)]
+    return [
+        jax.lax.dot_general(
+            kt_ref[...], amat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        for kt_ref in kt_refs
+    ]
+
+
+def _kernel(*refs, BH, H, W, Wt, Cin, Cout, TW, CHUNK, n_wt, prelu,
+            out_dtype, precision, stack_dx):
+    if stack_dx:
+        (x_ref, kts_ref, bias_ref, slope_ref, out_ref, slab_ref,
+         sem) = refs
+        kt_refs = (kts_ref,)
+    else:
+        (x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref, out_ref,
+         slab_ref, sem) = refs
+        kt_refs = (kt0_ref, kt1_ref, kt2_ref)
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     rb = t // n_wt
@@ -205,14 +258,7 @@ def _kernel(x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref,
             ],
             axis=1,
         )  # [3Cin, CHUNK*EXT]
-        ms = []
-        for kt_ref in (kt0_ref, kt1_ref, kt2_ref):
-            ms.append(jax.lax.dot_general(
-                kt_ref[...], amat,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            ))  # [Cout, CHUNK*EXT] f32
+        ms = _dx_matmuls(kt_refs, amat, Cout, precision)
         for j in range(CHUNK):
             base = j * EXT + LANE
             y = (
@@ -262,9 +308,11 @@ def conv3x3_hcw(x: jnp.ndarray, kt, bias: jnp.ndarray,
     assert Cin % gran == 0 and Cout % gran == 0, (Cin, Cout, gran)
     TW, chunk = _pick_plan(W, Cin, Cout, x.dtype.itemsize)
     n_rb, n_wt = BH // ROWS, W // TW
+    stack = stack_dx_profitable(Cout)
     kernel = functools.partial(
         _kernel, BH=BH, H=H, W=W, Wt=wt, Cin=Cin, Cout=Cout, TW=TW,
         CHUNK=chunk, n_wt=n_wt, prelu=slope is not None, out_dtype=x.dtype,
+        stack_dx=stack,
         # f32 activations: force true-f32 MXU passes. TPU's DEFAULT
         # precision computes f32 dots as single-pass bf16 (measured
         # mean 1.7e-2 off a HIGHEST chain at 101ch/W1280 — see
@@ -277,14 +325,19 @@ def conv3x3_hcw(x: jnp.ndarray, kt, bias: jnp.ndarray,
     )
     if slope is None:
         slope = jnp.zeros((Cout,), jnp.float32)
-    wspec = pl.BlockSpec((Cout, 3 * Cin), lambda t: (0, 0),
+    dt = x.dtype
+    if stack:
+        wargs = [jnp.concatenate([kt0, kt1, kt2], axis=0).astype(dt)]
+    else:
+        wargs = [kt0.astype(dt), kt1.astype(dt), kt2.astype(dt)]
+    wspec = pl.BlockSpec((wargs[0].shape[0], 3 * Cin), lambda t: (0, 0),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_rb * n_wt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # x stays in HBM
-            wspec, wspec, wspec,
+            *([wspec] * len(wargs)),
             pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
         ],
@@ -298,18 +351,17 @@ def conv3x3_hcw(x: jnp.ndarray, kt, bias: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    dt = x.dtype
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BH, Cout, W), dt),
         interpret=interpret,
-    )(x, kt0.astype(dt), kt1.astype(dt), kt2.astype(dt),
+    )(x, *wargs,
       bias.astype(jnp.float32), slope.astype(jnp.float32))
 
 
 def _kernel_planes(*refs, BH, H, W, Wt, Cf, Cin, Cout, TW, CHUNK, n_wt,
-                   prelu, out_dtype, precision):
+                   prelu, out_dtype, precision, stack_dx):
     """conv3x3 over [HCW feat ‖ planar images]: the feat part DMAs like
     _kernel into slab channels [0, Cf); the image planes arrive as a
     GROUPED stack [NG, BH, 8, W] (to_grouped_planes) and each group
@@ -333,11 +385,16 @@ def _kernel_planes(*refs, BH, H, W, Wt, Cf, Cin, Cout, TW, CHUNK, n_wt,
     legal for both dtypes at any width, so the 10-row double-buffered
     slab geometry is shared with the feat kernel."""
     if Cf:
-        (x_ref, planes_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref,
-         slope_ref, out_ref, slab_ref, sem) = refs
+        x_ref, planes_ref, *rest = refs
     else:
-        (planes_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref,
-         slope_ref, out_ref, slab_ref, sem) = refs
+        planes_ref, *rest = refs
+    if stack_dx:
+        kts_ref, bias_ref, slope_ref, out_ref, slab_ref, sem = rest
+        kt_refs = (kts_ref,)
+    else:
+        (kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref, out_ref,
+         slab_ref, sem) = rest
+        kt_refs = (kt0_ref, kt1_ref, kt2_ref)
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     rb = t // n_wt
@@ -425,14 +482,7 @@ def _kernel_planes(*refs, BH, H, W, Wt, Cf, Cin, Cout, TW, CHUNK, n_wt,
             ],
             axis=1,
         )  # [3Cin, CHUNK*EXT]
-        ms = []
-        for kt_ref in (kt0_ref, kt1_ref, kt2_ref):
-            ms.append(jax.lax.dot_general(
-                kt_ref[...], amat,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            ))  # [Cout, CHUNK*EXT] f32
+        ms = _dx_matmuls(kt_refs, amat, Cout, precision)
         for j in range(CHUNK):
             base = j * EXT + LANE
             y = (
@@ -519,16 +569,21 @@ def conv3x3_hcw_planes(x_hcw: jnp.ndarray, planes: jnp.ndarray, kt,
     assert Cf % gran == 0 and Cin % gran == 0 and Cout % gran == 0
     TW, chunk = _pick_plan(W, Cin, Cout, dt.itemsize)
     n_rb, n_wt = BH // ROWS, W // TW
+    stack = stack_dx_profitable(Cout)
     kernel = functools.partial(
         _kernel_planes, BH=BH, H=H, W=W, Wt=wt, Cf=Cf, Cin=Cin, Cout=Cout,
         TW=TW, CHUNK=chunk, n_wt=n_wt, prelu=slope is not None,
-        out_dtype=dt,
+        out_dtype=dt, stack_dx=stack,
         precision=(jax.lax.Precision.HIGHEST
                    if dt == jnp.float32 else None),
     )
     if slope is None:
         slope = jnp.zeros((Cout,), jnp.float32)
-    wspec = pl.BlockSpec((Cout, 3 * Cin), lambda t: (0, 0),
+    if stack:
+        wargs = [jnp.concatenate([kt0, kt1, kt2], axis=0).astype(dt)]
+    else:
+        wargs = [kt0.astype(dt), kt1.astype(dt), kt2.astype(dt)]
+    wspec = pl.BlockSpec((wargs[0].shape[0], 3 * Cin), lambda t: (0, 0),
                          memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # planes in HBM
     args = [planes.astype(dt)]
@@ -536,12 +591,11 @@ def conv3x3_hcw_planes(x_hcw: jnp.ndarray, planes: jnp.ndarray, kt,
         in_specs.insert(0, pl.BlockSpec(memory_space=pl.ANY))  # feat
         args.insert(0, x_hcw)
     in_specs += [
-        wspec, wspec, wspec,
+        *([wspec] * len(wargs)),
         pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
         pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
     ]
-    args += [kt0.astype(dt), kt1.astype(dt), kt2.astype(dt),
-             bias.astype(jnp.float32), slope.astype(jnp.float32)]
+    args += wargs + [bias.astype(jnp.float32), slope.astype(jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_rb * n_wt,),
@@ -737,10 +791,8 @@ def conv_s2_fits(Wout: int, cin: int, cout: int, dtype) -> bool:
     return True
 
 
-def _kernel_s2(x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref,
-               out_ref, slab_ref, sem,
-               *, BHin, Hout, Win, Wtin, Cin, Cout, TW, CHUNK, n_wt,
-               prelu, out_dtype, precision):
+def _kernel_s2(*refs, BHin, Hout, Win, Wtin, Cin, Cout, TW, CHUNK, n_wt,
+               prelu, out_dtype, precision, stack_dx):
     """conv3x3 stride 2, 'same' pad 1 (reference encoder stages): per 8
     OUTPUT rows a [17, Cin, EXT] input slab is DMA'd (rows 2y'-1..+15,
     128-lane halo); the contraction runs as the stride-1 kernel's three
@@ -752,6 +804,14 @@ def _kernel_s2(x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref,
     (the input halo is LANE=128 lanes, so the dx=-1 tap of output lane
     x' is input lane 2*(63+x')+1). All constructs are the measured
     Mosaic-portable set (pallas_probe3/4)."""
+    if stack_dx:
+        (x_ref, kts_ref, bias_ref, slope_ref, out_ref, slab_ref,
+         sem) = refs
+        kt_refs = (kts_ref,)
+    else:
+        (x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref, out_ref,
+         slab_ref, sem) = refs
+        kt_refs = (kt0_ref, kt1_ref, kt2_ref)
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
     rb = t // n_wt
@@ -868,14 +928,7 @@ def _kernel_s2(x_ref, kt0_ref, kt1_ref, kt2_ref, bias_ref, slope_ref,
             ],
             axis=1,
         )  # [3Cin, CHUNK*EXT]
-        ms = []
-        for kt_ref in (kt0_ref, kt1_ref, kt2_ref):
-            ms.append(jax.lax.dot_general(
-                kt_ref[...], amat,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            ))  # [Cout, CHUNK*EXT] f32
+        ms = _dx_matmuls(kt_refs, amat, Cout, precision)
         for j in range(CHUNK):
             sl = slice(j * EXT, (j + 1) * EXT)
             o0 = parity_split(ms[0][:, sl], 1)   # O0[y] = m0[2y+1]
@@ -922,23 +975,30 @@ def conv3x3s2_hcw(x_hcw: jnp.ndarray, kt, bias: jnp.ndarray,
     Wout = Win // 2
     TW, chunk = _pick_plan_s2(Wout, Cin, Cout, x_hcw.dtype.itemsize)
     n_rb, n_wt = BHin // 16, Wout // TW
+    stack = stack_dx_profitable(Cout)
     kernel = functools.partial(
         _kernel_s2, BHin=BHin, Hout=H_out, Win=Win, Wtin=wt, Cin=Cin,
         Cout=Cout, TW=TW, CHUNK=chunk, n_wt=n_wt,
         prelu=slope is not None, out_dtype=x_hcw.dtype,
+        stack_dx=stack,
         precision=(jax.lax.Precision.HIGHEST
                    if x_hcw.dtype == jnp.float32 else None),
     )
     if slope is None:
         slope = jnp.zeros((Cout,), jnp.float32)
-    wspec = pl.BlockSpec((Cout, 3 * Cin), lambda t: (0, 0),
+    dt = x_hcw.dtype
+    if stack:
+        wargs = [jnp.concatenate([kt0, kt1, kt2], axis=0).astype(dt)]
+    else:
+        wargs = [kt0.astype(dt), kt1.astype(dt), kt2.astype(dt)]
+    wspec = pl.BlockSpec((wargs[0].shape[0], 3 * Cin), lambda t: (0, 0),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_rb * n_wt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            wspec, wspec, wspec,
+            *([wspec] * len(wargs)),
             pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cout,), lambda t: (0,), memory_space=pltpu.VMEM),
         ],
@@ -952,13 +1012,12 @@ def conv3x3s2_hcw(x_hcw: jnp.ndarray, kt, bias: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    dt = x_hcw.dtype
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BHin // 2, Cout, Wout), dt),
         interpret=interpret,
-    )(x_hcw, kt0.astype(dt), kt1.astype(dt), kt2.astype(dt),
+    )(x_hcw, *wargs,
       bias.astype(jnp.float32), slope.astype(jnp.float32))
 
 

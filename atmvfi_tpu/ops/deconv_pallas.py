@@ -33,10 +33,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from atmvfi_tpu.ops.conv_pallas import channel_pad, pad_channel_vec
+from atmvfi_tpu.ops.conv_pallas import (
+    _mxu_row_passes, channel_pad, pad_channel_vec,
+)
 
 LANE = 128
 ROWS = 8  # output rows per grid step (4 input rows)
+
+
+def _stack_heads(cout: int) -> bool:
+    """Whether to stack the four parity heads [Cout, Cin] into ONE
+    [4*Cout, Cin] matmul. Same MXU-pass argument as
+    conv_pallas.stack_dx_profitable: four M=Cout matmuls each stream
+    all N columns for a fraction of the array's 128 rows; profitable
+    for Cout_pad <= 96. Shares the ATMVFI_NO_STACKDX kill switch."""
+    import os
+    if os.environ.get("ATMVFI_NO_STACKDX"):
+        return False
+    return _mxu_row_passes(4 * cout) < 4 * _mxu_row_passes(cout)
 
 
 def pack_deconv2x_weights(k_hwio: jnp.ndarray, act_dtype=jnp.float32):
@@ -85,27 +99,45 @@ def deconv_fits(w_half: int, cin: int, cout: int, dtype) -> bool:
     return True
 
 
-def _kernel(x_ref, k00_ref, k01_ref, k10_ref, k11_ref, bias_ref, slope_ref,
-            even_ref, odd_ref, *, Cin, Cout, TW, W, Wt, prelu, out_dtype,
-            precision):
+def _kernel(*refs, Cin, Cout, TW, W, Wt, prelu, out_dtype, precision,
+            stack_heads):
+    if stack_heads:
+        x_ref, ks_ref, bias_ref, slope_ref, even_ref, odd_ref = refs
+    else:
+        (x_ref, k00_ref, k01_ref, k10_ref, k11_ref, bias_ref, slope_ref,
+         even_ref, odd_ref) = refs
     # x_ref block: [4, Cin, TW] input rows; outputs: [8, Cout, TW] each.
     amat = jnp.concatenate([x_ref[i] for i in range(4)], axis=1)  # [Cin,4TW]
     bias = bias_ref[...].reshape(Cout, 1)
     slope = slope_ref[...].reshape(Cout, 1)
 
-    def head(kref):
-        m = jax.lax.dot_general(
-            kref[...], amat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ) + bias  # [Cout, 4*TW] f32
+    def post(m):
+        m = m + bias
         if prelu:
             m = jnp.maximum(m, 0.0) + slope * jnp.minimum(m, 0.0)
         return m
 
-    m00, m01, m10, m11 = (head(r) for r in
-                          (k00_ref, k01_ref, k10_ref, k11_ref))
+    if stack_heads:
+        m4 = jax.lax.dot_general(
+            ks_ref[...], amat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [4*Cout, 4*TW] f32
+        m00, m01, m10, m11 = (
+            post(m4[i * Cout : (i + 1) * Cout]) for i in range(4)
+        )
+    else:
+        def head(kref):
+            return post(jax.lax.dot_general(
+                kref[...], amat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ))  # [Cout, 4*TW] f32
+
+        m00, m01, m10, m11 = (head(r) for r in
+                              (k00_ref, k01_ref, k10_ref, k11_ref))
     if Wt < W:
         # lane-padded input: half-cols >= Wt are outside the image and
         # may hold anything; zero the corresponding output lanes so the
@@ -147,9 +179,10 @@ def deconv2x_hcw(x_hcw: jnp.ndarray, kt, bias: jnp.ndarray,
     TW = _pick_tw(w, Cin, Cout, x_hcw.dtype.itemsize)
     n_rb, n_wt = BH // 4, w // TW
     dt = x_hcw.dtype
+    stack = _stack_heads(Cout)
     kernel = functools.partial(
         _kernel, Cin=Cin, Cout=Cout, TW=TW, W=w, Wt=wt,
-        prelu=slope is not None, out_dtype=dt,
+        prelu=slope is not None, out_dtype=dt, stack_heads=stack,
         # true-f32 MXU passes for f32 activations (TPU DEFAULT is
         # single-pass bf16 — see conv_pallas.conv3x3_hcw)
         precision=(jax.lax.Precision.HIGHEST
@@ -157,7 +190,12 @@ def deconv2x_hcw(x_hcw: jnp.ndarray, kt, bias: jnp.ndarray,
     )
     if slope is None:
         slope = jnp.zeros((Cout,), jnp.float32)
-    wspec = pl.BlockSpec((Cout, Cin), lambda i, j: (0, 0),
+    if stack:
+        wargs = [jnp.concatenate([k00, k01, k10, k11], axis=0).astype(dt)]
+    else:
+        wargs = [k00.astype(dt), k01.astype(dt), k10.astype(dt),
+                 k11.astype(dt)]
+    wspec = pl.BlockSpec((wargs[0].shape[0], Cin), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((Cout,), lambda i, j: (0,),
                          memory_space=pltpu.VMEM)
@@ -170,7 +208,7 @@ def deconv2x_hcw(x_hcw: jnp.ndarray, kt, bias: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((4, Cin, TW), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            wspec, wspec, wspec, wspec, vspec, vspec,
+            *([wspec] * len(wargs)), vspec, vspec,
         ],
         out_specs=(ospec, ospec),
         out_shape=(
@@ -178,8 +216,8 @@ def deconv2x_hcw(x_hcw: jnp.ndarray, kt, bias: jnp.ndarray,
             jax.ShapeDtypeStruct((2 * BH, Cout, w), dt),
         ),
         interpret=interpret,
-    )(x_hcw, k00.astype(dt), k01.astype(dt), k10.astype(dt),
-      k11.astype(dt), bias.astype(jnp.float32), slope.astype(jnp.float32))
+    )(x_hcw, *wargs,
+      bias.astype(jnp.float32), slope.astype(jnp.float32))
     # x-interleave: one XLA minor-dim merge (in-kernel lane interleaves
     # are not Mosaic-portable)
     return jnp.stack([even, odd], axis=-1).reshape(2 * BH, Cout, 2 * w)

@@ -377,3 +377,54 @@ def test_conv3x3s2_gradients():
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=2e-3, rtol=1e-3)
+
+
+def test_stack_dx_profitability_rule():
+    from atmvfi_tpu.ops.conv_pallas import stack_dx_profitable
+
+    # narrow outputs stack (3*Cout fits fewer 128-row MXU passes)
+    assert stack_dx_profitable(16)
+    assert stack_dx_profitable(32)
+    assert stack_dx_profitable(64)
+    assert stack_dx_profitable(80)
+    # at/above the break-even the separate form is kept
+    assert not stack_dx_profitable(96)
+    assert not stack_dx_profitable(128)
+    assert not stack_dx_profitable(240)
+
+
+def test_stacked_dx_is_identity_transform(monkeypatch):
+    """The stacked [3*Cout, 3Cin] single-matmul form must equal the
+    three-matmul form bit-for-bit in interpret mode — same products,
+    same add order, only the MXU pass structure differs."""
+    from atmvfi_tpu.ops.conv_pallas import (
+        conv3x3_hcw_op, conv3x3s2_hcw_op, nhwc_to_hcw,
+    )
+    from atmvfi_tpu.ops.deconv_pallas import deconv2x_hcw_op
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = 2, 16, 256, 16  # Cout=16 -> stacked when enabled
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    xh = nhwc_to_hcw(x)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((2, 2, C, C)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.random((C,)) * 0.5, jnp.float32)
+
+    def all_ops():
+        return (
+            conv3x3_hcw_op(xh, k3, b, s, H, True, True),
+            conv3x3s2_hcw_op(xh, k3, b, s, H // 2, True, True),
+            deconv2x_hcw_op(xh, k2, b, s, True, True),
+        )
+
+    stacked = all_ops()
+    monkeypatch.setenv("ATMVFI_NO_STACKDX", "1")
+    separate = all_ops()
+    for a, c in zip(stacked, separate):
+        # same products and add order; only the dot's M-tiling differs.
+        # On the CPU interpret backend XLA reassociates the K-reduction
+        # differently per M shape, so allow reduction-order ulps.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=2e-5, rtol=2e-5
+        )
