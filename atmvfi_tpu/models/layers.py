@@ -86,7 +86,8 @@ class ConvPReLU(nn.Module):
     def __call__(self, x, hcw: Optional[tuple] = None,
                  interpret: bool = False,
                  planes: Optional[jnp.ndarray] = None,
-                 cf_true: Optional[int] = None):
+                 cf_true: Optional[int] = None,
+                 params_only: bool = False):
         """NHWC XLA path by default. With `hcw=(cin_true, H)` (static),
         x is HCW [B*H, pad8(cin_true), W] and the fused Pallas
         conv+bias+PReLU kernel runs (stride/dilation 1 only); padded
@@ -97,7 +98,12 @@ class ConvPReLU(nn.Module):
         planes DMA straight into the kernel's slab (the refiner proj's
         full-res image inputs never pay an NHWC->HCW transpose);
         cf_true is the number of true feat channels, hcw[0] the TOTAL
-        true cin (feat + planes)."""
+        true cin (feat + planes).
+
+        params_only=True just materializes (k, b, prelu_slope) with the
+        identical param tree and returns them — used by the fused
+        conv-pair route, where the PARENT passes both convs' params to
+        one kernel (conv3x3_pair_hcw_op)."""
         from atmvfi_tpu.ops import conv_pallas as cp
 
         cin = hcw[0] if hcw is not None else x.shape[-1]
@@ -106,6 +112,8 @@ class ConvPReLU(nn.Module):
             self.features, cin, self.kernel, fan_in, name="conv"
         )()
         alpha = self.param("prelu", prelu_init, (self.features,))
+        if params_only:
+            return k, b, alpha
         if hcw is not None:
             assert (
                 self.kernel == 3 and self.stride in (1, 2)
@@ -156,7 +164,7 @@ class PlainConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, hcw: Optional[tuple] = None,
-                 interpret: bool = False):
+                 interpret: bool = False, params_only: bool = False):
         from atmvfi_tpu.ops import conv_pallas as cp
 
         fan_in = self.kernel * self.kernel * self.in_features
@@ -166,6 +174,8 @@ class PlainConv(nn.Module):
         )
         b = self.param("bias", torch_conv_bias_init(fan_in),
                        (self.features,))
+        if params_only:
+            return k, b, None
         if hcw is not None:
             assert self.kernel == 3
             wt = hcw[2] if len(hcw) > 2 else None

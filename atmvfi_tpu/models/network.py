@@ -40,10 +40,11 @@ from atmvfi_tpu.models.layers import (
 
 def _hcw_route_on(name: str) -> bool:
     """Debug escape hatch:
-    ATMVFI_HCW_DISABLE=enc,encp,dec,pair,proj,up3,head,tail
+    ATMVFI_HCW_DISABLE=enc,encp,dec,pair,proj,up2,up3,head,tail,fuse
     turns individual HCW/planar Pallas route sites off (read at trace
     time). 'tail' kills the whole planar full-res tail; 'encp' the
-    planes-fed encoder chain inside it."""
+    planes-fed encoder chain inside it; 'fuse' makes every fused
+    conv-pair site run its two kernels sequentially instead."""
     import os
 
     dis = os.environ.get("ATMVFI_HCW_DISABLE", "")
@@ -390,10 +391,8 @@ class Network(nn.Module):
         if deconv_ok:
             xh = cp.nhwc_to_hcw(feat)                 # half-res transpose
             xh = deconv(xh, hcw=(cin, w), interpret=interp)
-            xh = conv_a(xh, hcw=(deconv.features, 2 * h, 2 * w),
-                        interpret=interp)
-            xh = conv_b(xh, hcw=(conv_a.features, 2 * h, 2 * w),
-                        interpret=interp)
+            xh = self._run_pair_hcw(conv_a, conv_b, xh, deconv.features,
+                                    2 * h, 2 * w, interp)
             if want_hcw:
                 return xh, 2 * w
             return cp.hcw_to_nhwc(xh, B, conv_b.features, 2 * w)
@@ -426,9 +425,33 @@ class Network(nn.Module):
             return conv_b(conv_a(feat))
         B, H = feat.shape[0], feat.shape[1]
         xh = cp.nhwc_to_hcw(feat)
-        xh = conv_a(xh, hcw=(cin, H, W), interpret=interp)
-        xh = conv_b(xh, hcw=(conv_a.features, H, W), interpret=interp)
+        xh = self._run_pair_hcw(conv_a, conv_b, xh, cin, H, W, interp)
         return cp.hcw_to_nhwc(xh, B, conv_b.features, W)
+
+    def _run_pair_hcw(self, conv_a, conv_b, xh, cin, H, wt, interp):
+        """conv_a -> conv_b on HCW activations [B*H, pad(cin), Wp]:
+        ONE fused kernel (conv3x3_pair_hcw_op — the intermediate stays
+        in VMEM, saving its HBM round trip) when the pair tiling fits
+        VMEM, else the two kernels sequentially. Bit-exact either way;
+        ATMVFI_HCW_DISABLE=fuse forces sequential."""
+        from atmvfi_tpu.ops import conv_pallas as cp
+
+        fuse = (
+            _hcw_route_on("fuse")
+            and cp.pair_run_fits(xh.shape[2], cin, conv_a.features,
+                                 conv_b.features, xh.dtype)
+        )
+        if fuse:
+            ka, ba, sa = conv_a(None, hcw=(cin, H), params_only=True)
+            kb, bb, sb = conv_b(None, hcw=(conv_a.features, H),
+                                params_only=True)
+            return cp.conv3x3_pair_hcw_op(
+                xh, ka, ba, sa if sa is not None else jnp.zeros_like(ba),
+                kb, bb, sb if sb is not None else jnp.zeros_like(bb),
+                H, sa is not None, sb is not None, interp, wt,
+            )
+        xh = conv_a(xh, hcw=(cin, H, wt), interpret=interp)
+        return conv_b(xh, hcw=(conv_a.features, H, wt), interpret=interp)
 
     def _planar_tail_on(self, H: int, W: int) -> bool:
         """Static gate for the planar full-res tail (cfg.tail_planar):
@@ -723,12 +746,9 @@ class Network(nn.Module):
             else:
                 f0h = cp.nhwc_to_hcw(feat0.astype(dt), w_full)
             xh = jnp.concatenate([xh0_, f0h], axis=1)
-            xh = self.refine_head[0](xh, hcw=(2 * hid, H, W),
-                                     interpret=interp)
-            xh = self.refine_head[1](
-                xh, hcw=(self.refine_head[0].features, H, W),
-                interpret=interp
-            )
+            xh = self._run_pair_hcw(self.refine_head[0],
+                                    self.refine_head[1], xh, 2 * hid,
+                                    H, W, interp)
             return 2 * jax.nn.sigmoid(
                 cp.hcw_to_nhwc(xh, B, self.refine_head[1].features, W)
             ) - 1
@@ -741,12 +761,9 @@ class Network(nn.Module):
         )
         if use_head:
             xh = cp.nhwc_to_hcw(cat_h)
-            xh = self.refine_head[0](xh, hcw=(cat_h.shape[-1], H, W),
-                                     interpret=interp)
-            xh = self.refine_head[1](
-                xh, hcw=(self.refine_head[0].features, H, W),
-                interpret=interp
-            )
+            xh = self._run_pair_hcw(self.refine_head[0],
+                                    self.refine_head[1], xh,
+                                    cat_h.shape[-1], H, W, interp)
             res = cp.hcw_to_nhwc(xh, B, self.refine_head[1].features, W)
         else:
             res = _seq(self.refine_head, cat_h)

@@ -1315,3 +1315,365 @@ def _op_bwd(H, prelu, interpret, w_true, res, g):
 
 
 conv3x3_hcw_op.defvjp(_op_fwd, _op_bwd)
+
+
+# ----------------------------------------------------------------------
+# fused conv3x3 -> conv3x3 pair (one kernel, intermediate stays in VMEM)
+#
+# The decoder/refiner/encoder stages run stride-1 conv PAIRS back to
+# back; unfused, the intermediate [BH, Cmid, W] tensor makes a full HBM
+# round trip (write + 10-row-slab re-read) between the two pallas
+# calls. The fused kernel computes 10 intermediate rows per 8-output-
+# row grid step into a VMEM scratch (25% stage-A row recompute, ~4% of
+# the pair's FLOPs) and runs the second contraction from VMEM.
+# Reference semantics: two chained `conv` blocks, e.g.
+# /root/reference/network/network_base.py:20-25 + 198-210.
+#
+# Geometry: stage A emits the mid window [w0-64, w0+TW+64) (width
+# TW+128, a 128-multiple so the output-side dx adds keep the measured-
+# legal "unaligned offset, 128-multiple width" slice pattern); stage B
+# consumes it with the usual +-1-lane output-side shift. Bit-exact vs
+# the chained kernels: the mid scratch holds the same act-dtype values
+# the unfused intermediate tensor would.
+# ----------------------------------------------------------------------
+
+SROWS_PAIR = 12  # input slab rows per grid step (8 out + 2x2 conv halo)
+
+
+def _pick_plan_pair(W: int, cin: int, cmid: int, cout: int,
+                    dtype_bytes: int):
+    """-> (TW, chunk) or None when no tiling fits VMEM (caller falls
+    back to two sequential kernels)."""
+    budget = 10 * 1024 * 1024
+    best = None
+    for tw in (1280, 1024, 896, 768, 640, 512, 384, 256, 128):
+        if W % tw or (tw < 2 * LANE and W != tw):
+            continue
+        ext = tw + 2 * LANE
+        twm = tw + LANE
+        for chunk in (8, 4, 2, 1):
+            slab = 2 * SROWS_PAIR * cin * ext * dtype_bytes
+            mid = 10 * cmid * twm * dtype_bytes
+            amat = 3 * max(cin * ext, cmid * twm) * chunk * dtype_bytes
+            macc = 3 * max(cmid, cout) * chunk * ext * 4
+            out = 2 * ROWS * cout * tw * dtype_bytes
+            if slab + mid + amat + macc + out < budget:
+                if best is None or tw > best[0]:
+                    best = (tw, chunk)
+                break
+    return best
+
+
+def pair_run_fits(W: int, cin: int, cmid: int, cout: int, dtype) -> bool:
+    nb = jnp.dtype(dtype).itemsize
+    return _pick_plan_pair(
+        W, channel_pad(cin, dtype), channel_pad(cmid, dtype),
+        channel_pad(cout, dtype), nb,
+    ) is not None
+
+
+def _kernel_pair(*refs, BH, H, W, Wt, Cin, Cmid, Cout, TW, CHUNK, n_wt,
+                 prelu_a, prelu_b, out_dtype, precision, stack_a, stack_b):
+    i = 1
+    x_ref = refs[0]
+    na = 1 if stack_a else 3
+    kta_refs = refs[i : i + na]
+    i += na
+    bias_a_ref, slope_a_ref = refs[i], refs[i + 1]
+    i += 2
+    nb = 1 if stack_b else 3
+    ktb_refs = refs[i : i + nb]
+    i += nb
+    bias_b_ref, slope_b_ref = refs[i], refs[i + 1]
+    i += 2
+    out_ref, slab_ref, mid_ref, sem = refs[i : i + 4]
+
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    rb = t // n_wt
+    wt = t % n_wt
+
+    def transfer(slot, tile, start):
+        trb = tile // n_wt
+        twt = tile % n_wt
+        row_start = jnp.clip(trb * ROWS - 2, 0, BH - SROWS_PAIR)
+
+        def go(cp):
+            cp.start() if start else cp.wait()
+
+        if n_wt == 1:
+            go(pltpu.make_async_copy(
+                x_ref.at[pl.ds(row_start, SROWS_PAIR), :, :],
+                slab_ref.at[slot, :, :, pl.ds(LANE, W)],
+                sem.at[slot],
+            ))
+            return
+        first = twt == 0
+        last = twt == n_wt - 1
+        interior = jnp.logical_not(first | last)
+
+        @pl.when(interior)
+        def _():
+            go(pltpu.make_async_copy(
+                x_ref.at[
+                    pl.ds(row_start, SROWS_PAIR), :,
+                    pl.ds(pl.multiple_of(twt * TW - LANE, LANE),
+                          TW + 2 * LANE),
+                ],
+                slab_ref.at[slot],
+                sem.at[slot],
+            ))
+
+        @pl.when(first)
+        def _():
+            go(pltpu.make_async_copy(
+                x_ref.at[pl.ds(row_start, SROWS_PAIR), :,
+                         pl.ds(0, TW + LANE)],
+                slab_ref.at[slot, :, :, pl.ds(LANE, TW + LANE)],
+                sem.at[slot],
+            ))
+
+        @pl.when(last)
+        def _():
+            go(pltpu.make_async_copy(
+                x_ref.at[
+                    pl.ds(row_start, SROWS_PAIR), :,
+                    pl.ds(pl.multiple_of(twt * TW - LANE, LANE), TW + LANE),
+                ],
+                slab_ref.at[slot, :, :, pl.ds(0, TW + LANE)],
+                sem.at[slot],
+            ))
+
+    @pl.when(t == 0)
+    def _():
+        transfer(0, 0, start=True)
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        transfer((t + 1) % 2, t + 1, start=True)
+
+    slot = t % 2
+    transfer(slot, t, start=False)
+
+    w0 = wt * TW
+    row_start = jnp.clip(rb * ROWS - 2, 0, BH - SROWS_PAIR)
+    EXT = TW + 2 * LANE
+    TWM = TW + LANE      # mid window width; col k <-> x = w0 - MOFF + k
+    MOFF = LANE // 2
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, EXT), 1)
+    x_full = w0 - LANE + lane_iota
+    lane_ok = (x_full >= 0) & (x_full <= Wt - 1)
+
+    def in_row(r_mid, dy):
+        """Input slab row feeding mid row r_mid (global rb*8-1+r_mid)
+        at tap dy, zeroed outside the mid row's own image. Out-of-range
+        mid rows (the rb==0 / last-block edges) produce garbage here and
+        are masked at their stage-B read."""
+        gm = rb * ROWS - 1 + r_mid
+        gy_img = gm % H
+        idx = jnp.clip(gm + dy - 1 - row_start, 0, SROWS_PAIR - 1)
+        vrow = (gy_img + dy - 1 >= 0) & (gy_img + dy - 1 <= H - 1)
+        row = slab_ref[slot, idx]                # [Cin, EXT]
+        return jnp.where(vrow & lane_ok, row, jnp.zeros_like(row))
+
+    # ---- stage A: 10 mid rows over the TWM window into VMEM ----
+    for c0 in range(0, 10, CHUNK):
+        csz = min(CHUNK, 10 - c0)
+        amat = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [in_row(r, dy) for dy in range(3)], axis=0
+                )
+                for r in range(c0, c0 + csz)
+            ],
+            axis=1,
+        )  # [3Cin, csz*EXT]
+        ms = _dx_matmuls(kta_refs, amat, Cmid, precision)
+        for j in range(csz):
+            base = j * EXT + MOFF
+            y = (
+                ms[0][:, base - 1 : base - 1 + TWM]
+                + ms[1][:, base : base + TWM]
+                + ms[2][:, base + 1 : base + 1 + TWM]
+            )
+            y = y + bias_a_ref[...].reshape(Cmid, 1)
+            if prelu_a:
+                sl = slope_a_ref[...].reshape(Cmid, 1)
+                y = jnp.maximum(y, 0.0) + sl * jnp.minimum(y, 0.0)
+            mid_ref[c0 + j] = y.astype(out_dtype)
+
+    # ---- stage B: 8 output rows from the VMEM mid ----
+    lane_iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, TWM), 1)
+    x_mid = w0 - MOFF + lane_iota_m
+    lane_ok_m = (x_mid >= 0) & (x_mid <= Wt - 1)
+
+    def mid_row(r_out, dy):
+        gy = rb * ROWS + r_out
+        gy_img = gy % H
+        vrow = (gy_img + dy - 1 >= 0) & (gy_img + dy - 1 <= H - 1)
+        row = mid_ref[r_out + dy]                # [Cmid, TWM], static idx
+        return jnp.where(vrow & lane_ok_m, row, jnp.zeros_like(row))
+
+    for c0 in range(0, ROWS, CHUNK):
+        amat = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [mid_row(r, dy) for dy in range(3)], axis=0
+                )
+                for r in range(c0, c0 + CHUNK)
+            ],
+            axis=1,
+        )  # [3Cmid, CHUNK*TWM]
+        ms = _dx_matmuls(ktb_refs, amat, Cout, precision)
+        for j in range(CHUNK):
+            base = j * TWM + MOFF
+            y = (
+                ms[0][:, base - 1 : base - 1 + TW]
+                + ms[1][:, base : base + TW]
+                + ms[2][:, base + 1 : base + 1 + TW]
+            )
+            y = y + bias_b_ref[...].reshape(Cout, 1)
+            if prelu_b:
+                sl = slope_b_ref[...].reshape(Cout, 1)
+                y = jnp.maximum(y, 0.0) + sl * jnp.minimum(y, 0.0)
+            if Wt < W:
+                out_iota = jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
+                y = jnp.where(w0 + out_iota < Wt, y, 0.0)
+            out_ref[c0 + j] = y.astype(out_dtype)
+
+
+def conv3x3_pair_hcw(x: jnp.ndarray, kta, bias_a, slope_a, ktb, bias_b,
+                     slope_b, H: int, w_true: Optional[int] = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused conv3x3(+bias+PReLU) pair on HCW activations.
+
+    x: [B*H, Cin, W]; kta/ktb: per-dx triples [Cmid|Cout, 3*Cin|3*Cmid]
+    (pack_conv3x3_weights); bias/slope: [Cmid]/[Cout] f32 (slope None
+    disables that stage's PReLU). Same alignment contract as
+    conv3x3_hcw. Bit-exact vs chaining conv3x3_hcw twice."""
+    BH, Cin, W = x.shape
+    Cmid = kta[0].shape[0]
+    Cout = ktb[0].shape[0]
+    wt = W if w_true is None else w_true
+    gran = 16 if x.dtype.itemsize == 2 else 8
+    assert BH % ROWS == 0 and W % LANE == 0 and BH >= 16
+    assert 0 < wt <= W
+    assert Cin % gran == 0 and Cmid % gran == 0 and Cout % gran == 0
+    plan = _pick_plan_pair(W, Cin, Cmid, Cout, x.dtype.itemsize)
+    if plan is None:
+        raise ValueError(
+            f"no fused-pair tiling fits VMEM for W={W} "
+            f"cin={Cin} cmid={Cmid} cout={Cout}"
+        )
+    TW, chunk = plan
+    n_rb, n_wt = BH // ROWS, W // TW
+    stack_a = stack_dx_profitable(Cmid)
+    stack_b = stack_dx_profitable(Cout)
+    kernel = functools.partial(
+        _kernel_pair, BH=BH, H=H, W=W, Wt=wt, Cin=Cin, Cmid=Cmid,
+        Cout=Cout, TW=TW, CHUNK=chunk, n_wt=n_wt,
+        prelu_a=slope_a is not None, prelu_b=slope_b is not None,
+        out_dtype=x.dtype, stack_a=stack_a, stack_b=stack_b,
+        precision=(jax.lax.Precision.HIGHEST
+                   if x.dtype == jnp.float32 else None),
+    )
+    if slope_a is None:
+        slope_a = jnp.zeros((Cmid,), jnp.float32)
+    if slope_b is None:
+        slope_b = jnp.zeros((Cout,), jnp.float32)
+    dt = x.dtype
+
+    def wargs_of(kt, stack):
+        if stack:
+            return [jnp.concatenate(list(kt), axis=0).astype(dt)]
+        return [k.astype(dt) for k in kt]
+
+    wargs_a = wargs_of(kta, stack_a)
+    wargs_b = wargs_of(ktb, stack_b)
+
+    def wspec(w):
+        return pl.BlockSpec(w.shape, lambda t: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def vspec(c):
+        return pl.BlockSpec((c,), lambda t: (0,), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_rb * n_wt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # x stays in HBM
+            *[wspec(w) for w in wargs_a],
+            vspec(Cmid), vspec(Cmid),
+            *[wspec(w) for w in wargs_b],
+            vspec(Cout), vspec(Cout),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROWS, Cout, TW),
+            lambda t: (t // n_wt, 0, t % n_wt),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, SROWS_PAIR, Cin, TW + 2 * LANE), x.dtype),
+            pltpu.VMEM((10, Cmid, TW + LANE), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, Cout, W), dt),
+        interpret=interpret,
+    )(x, *wargs_a, bias_a.astype(jnp.float32), slope_a.astype(jnp.float32),
+      *wargs_b, bias_b.astype(jnp.float32), slope_b.astype(jnp.float32))
+
+
+def _xla_equiv_pair(x_hcw, ka, bias_a, slope_a, kb, bias_b, slope_b,
+                    H: int, prelu_a: bool, prelu_b: bool,
+                    w_true: Optional[int] = None):
+    mid = _xla_equiv(x_hcw, ka, bias_a, slope_a, H, prelu_a, w_true)
+    return _xla_equiv(mid, kb, bias_b, slope_b, H, prelu_b, w_true)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def conv3x3_pair_hcw_op(x_hcw, ka, bias_a, slope_a, kb, bias_b, slope_b,
+                        H: int, prelu_a: bool, prelu_b: bool,
+                        interpret: bool, w_true: Optional[int] = None):
+    """Differentiable fused HCW conv3x3 pair on padded activations.
+
+    x_hcw: [B*H, pad(Cin), W]; ka/kb: [3, 3, Cin, Cmid]/[3, 3, Cmid,
+    Cout] f32 params; bias/slope f32 vectors. Returns
+    [B*H, pad(Cout), W]. Exactly equal to chaining conv3x3_hcw_op."""
+    dt = x_hcw.dtype
+    kta = pack_conv3x3_weights_padded(ka, dt)
+    ktb = pack_conv3x3_weights_padded(kb, dt)
+    return conv3x3_pair_hcw(
+        x_hcw, kta, pad_channel_vec(bias_a, dt),
+        pad_channel_vec(slope_a, dt) if prelu_a else None,
+        ktb, pad_channel_vec(bias_b, dt),
+        pad_channel_vec(slope_b, dt) if prelu_b else None,
+        H=H, w_true=w_true, interpret=interpret,
+    )
+
+
+def _pair_op_fwd(x_hcw, ka, bias_a, slope_a, kb, bias_b, slope_b, H,
+                 prelu_a, prelu_b, interpret, w_true):
+    out = conv3x3_pair_hcw_op(x_hcw, ka, bias_a, slope_a, kb, bias_b,
+                              slope_b, H, prelu_a, prelu_b, interpret,
+                              w_true)
+    return out, (x_hcw, ka, bias_a, slope_a, kb, bias_b, slope_b)
+
+
+def _pair_op_bwd(H, prelu_a, prelu_b, interpret, w_true, res, g):
+    x_hcw, ka, bias_a, slope_a, kb, bias_b, slope_b = res
+    _, vjp = jax.vjp(
+        lambda x, k1, b1, s1, k2, b2, s2: _xla_equiv_pair(
+            x, k1, b1, s1, k2, b2, s2, H, prelu_a, prelu_b, w_true
+        ),
+        x_hcw, ka, bias_a, slope_a, kb, bias_b, slope_b,
+    )
+    return vjp(g)
+
+
+conv3x3_pair_hcw_op.defvjp(_pair_op_fwd, _pair_op_bwd)

@@ -393,6 +393,109 @@ def test_stack_dx_profitability_rule():
     assert not stack_dx_profitable(240)
 
 
+@pytest.mark.parametrize(
+    "name,B,H,W,Cin,Cmid,Cout,prelu_b,wt",
+    [
+        ("single_tile", 1, 16, 256, 8, 8, 8, True, None),
+        ("wide", 1, 16, 1152, 8, 16, 8, True, None),   # multi-tile DMA
+        ("batch", 2, 16, 256, 8, 8, 16, True, None),   # batch-boundary rows
+        ("no_prelu_b", 1, 16, 256, 16, 8, 8, False, None),
+        ("lane_padded", 1, 16, 384, 8, 8, 8, True, 333),  # w_true < W
+        ("stacked_mid", 1, 24, 256, 8, 32, 32, True, None),  # stack-dx hits
+    ],
+)
+def test_conv3x3_pair_fused_matches_chain(name, B, H, W, Cin, Cmid, Cout,
+                                          prelu_b, wt):
+    """Fused conv3x3 pair (intermediate in VMEM scratch) vs chaining two
+    conv3x3_hcw_op kernels, and vs the XLA reference conv chain."""
+    from atmvfi_tpu.ops.conv_pallas import (
+        conv3x3_hcw_op, conv3x3_pair_hcw_op, hcw_to_nhwc, nhwc_to_hcw,
+    )
+
+    rng = np.random.default_rng(hash(name) % 1000)
+    w_in = W if wt is None else wt
+    x = jnp.asarray(rng.standard_normal((B, H, w_in, Cin)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, Cin, Cmid)) * 0.2,
+                     jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, Cmid, Cout)) * 0.2,
+                     jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((Cmid,)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    s1 = jnp.asarray(rng.random((Cmid,)) * 0.5, jnp.float32)
+    s2 = jnp.asarray(rng.random((Cout,)) * 0.5, jnp.float32)
+
+    xh = nhwc_to_hcw(x)  # lane-pads to W
+    got_h = conv3x3_pair_hcw_op(xh, k1, b1, s1, k2, b2, s2, H, True,
+                                prelu_b, True, wt)
+    chain = conv3x3_hcw_op(xh, k1, b1, s1, H, True, True, wt)
+    chain = conv3x3_hcw_op(chain, k2, b2, s2, H, prelu_b, True, wt)
+    # same products; tiling differences only reassociate reductions
+    np.testing.assert_allclose(
+        np.asarray(got_h), np.asarray(chain), atol=2e-5, rtol=2e-5
+    )
+    got = hcw_to_nhwc(got_h, B, Cout, w_in)
+    want = _ref_conv(_ref_conv(x, k1, b1, s1), k2, b2,
+                     s2 if prelu_b else None)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_conv3x3_pair_gradients_match_xla():
+    """Fused-pair custom VJP (routes through the XLA-equivalent chain)
+    vs grads of the plain XLA conv chain."""
+    from atmvfi_tpu.ops.conv_pallas import conv3x3_pair_hcw_op, nhwc_to_hcw
+
+    rng = np.random.default_rng(17)
+    B, H, W, C = 1, 16, 256, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    s1 = jnp.asarray(rng.random((C,)) * 0.5, jnp.float32)
+    s2 = jnp.asarray(rng.random((C,)) * 0.5, jnp.float32)
+
+    def loss_pl(x, k1, b1, s1, k2, b2, s2):
+        y = conv3x3_pair_hcw_op(nhwc_to_hcw(x), k1, b1, s1, k2, b2, s2,
+                                H, True, True, True)
+        return jnp.sum(y ** 2)
+
+    def loss_xla(x, k1, b1, s1, k2, b2, s2):
+        return jnp.sum(_ref_conv(_ref_conv(x, k1, b1, s1), k2, b2, s2) ** 2)
+
+    gp = jax.grad(loss_pl, argnums=tuple(range(7)))(x, k1, b1, s1, k2,
+                                                    b2, s2)
+    gx = jax.grad(loss_xla, argnums=tuple(range(7)))(x, k1, b1, s1, k2,
+                                                     b2, s2)
+    for a, w in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), atol=5e-3, rtol=1e-3
+        )
+
+
+def test_model_fused_pair_route_matches_sequential(monkeypatch):
+    """Full lite forward: the fused conv-pair sites
+    (ATMVFI_HCW_DISABLE=fuse off vs on) agree to float tolerance under
+    conv_impl='pallas'."""
+    import dataclasses
+    from atmvfi_tpu.models import Network, get_config
+
+    cfg = dataclasses.replace(get_config("lite"), conv_impl="pallas")
+    rng = np.random.default_rng(2)
+    im0 = jnp.asarray(rng.random((1, 64, 128, 3)), jnp.float32)
+    im1 = jnp.asarray(rng.random((1, 64, 128, 3)), jnp.float32)
+    net = Network(cfg)
+    variables = net.init(jax.random.PRNGKey(0), im0, im1)
+    out_fused = net.apply(variables, im0, im1, global_motion=True)
+    monkeypatch.setenv("ATMVFI_HCW_DISABLE", "fuse")
+    out_seq = net.apply(variables, im0, im1, global_motion=True)
+    np.testing.assert_allclose(
+        np.asarray(out_fused["I_t"]), np.asarray(out_seq["I_t"]),
+        atol=5e-6, rtol=1e-5,
+    )
+
+
 def test_stacked_dx_is_identity_transform(monkeypatch):
     """The stacked [3*Cout, 3Cin] single-matmul form must equal the
     three-matmul form bit-for-bit in interpret mode — same products,
