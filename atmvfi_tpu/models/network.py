@@ -432,12 +432,23 @@ class Network(nn.Module):
         """conv_a -> conv_b on HCW activations [B*H, pad(cin), Wp]:
         ONE fused kernel (conv3x3_pair_hcw_op — the intermediate stays
         in VMEM, saving its HBM round trip) when the pair tiling fits
-        VMEM, else the two kernels sequentially. Bit-exact either way;
-        ATMVFI_HCW_DISABLE=fuse forces sequential."""
+        VMEM, else the two kernels sequentially. Bit-exact either way
+        (device-verified max|d|=0 at lite 1088x1920 / base 544x960,
+        2026-08-20), but the fused form LOSES ~1.1-1.5% in-model
+        (scripts/tpu_fusepair_ab.py: lite 4K 385.0 vs 380.7 ms, base
+        1080p 151.7 vs 149.5) — the saved HBM round trip of the
+        intermediate doesn't cover the 25% stage-A row recompute plus
+        the lost cross-tile DMA overlap of two pipelined kernels (same
+        mechanism as the fused dual-warp+blend negative, PERF_NOTES).
+        Default is therefore sequential; ATMVFI_HCW_FUSE=1 opts in
+        (trace time), and ATMVFI_HCW_DISABLE=fuse still wins over it."""
+        import os
+
         from atmvfi_tpu.ops import conv_pallas as cp
 
         fuse = (
-            _hcw_route_on("fuse")
+            os.environ.get("ATMVFI_HCW_FUSE") == "1"
+            and _hcw_route_on("fuse")
             and cp.pair_run_fits(xh.shape[2], cin, conv_a.features,
                                  conv_b.features, xh.dtype)
         )

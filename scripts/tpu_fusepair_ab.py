@@ -100,8 +100,12 @@ if "--check" in sys.argv or "--check-only" in sys.argv:
     if "--check-only" in sys.argv:
         sys.exit(0)
 
-CASES = [("lite", 2176, 3840, 4), ("lite", 1088, 1920, 8),
-         ("base", 1088, 1920, 8), ("base", 2176, 3840, 4)]
+if "--quick" in sys.argv:
+    # session-budget variant: the two headline configs only
+    CASES = [("lite", 2176, 3840, 4), ("base", 1088, 1920, 8)]
+else:
+    CASES = [("lite", 2176, 3840, 4), ("lite", 1088, 1920, 8),
+             ("base", 1088, 1920, 8), ("base", 2176, 3840, 4)]
 results = {}
 for mode in ("fused", "sequential"):
     if mode == "sequential":
