@@ -63,6 +63,13 @@ class ATMVFIConfig:
     # (+0.45-0.5 fps) while base's 208-ch sites lose ~21 ms/frame at
     # 1080p (v5e A/Bs, 2026-08-19) — per-preset measured default.
     hcw_wide_channels: bool = False
+    # run each stride-1 HCW conv PAIR as ONE fused Pallas kernel (the
+    # intermediate stays in VMEM). Device A/B 2026-08-20: the fused
+    # form LOSES 1.1-1.5% in-model (recompute + lost cross-tile DMA
+    # overlap > the saved HBM round trip), so the default is the
+    # sequential two-kernel form. Config field (not an env var) so the
+    # route matrix is enumerable; ATMVFI_HCW_DISABLE=fuse still kills.
+    hcw_fuse_pairs: bool = False
 
     def fast(self) -> "ATMVFIConfig":
         """Serving profile: unchecked slab warps + composed full-res

@@ -230,8 +230,6 @@ class Network(nn.Module):
           the source by pack_conv3x3_weights' provenance defense, and
           the full argsrc matrix now measures exact on v5e.)
         * XLA NHWC convs (fallback)."""
-        import os
-
         from atmvfi_tpu.ops import conv_pallas as cp
 
         conv_a, conv_b = self.feat_extracts[0], self.feat_extracts[1]
@@ -245,9 +243,7 @@ class Network(nn.Module):
             and cp.conv_run_fits(cp.lane_pad(W), pair_ch, self.cfg.dtype)
         )
         enc_route = _hcw_route_on("enc") and (
-            pair_ok
-            or self.cfg.conv_impl == "pallas"
-            or os.environ.get("ATMVFI_HCW_ENC") == "1"
+            pair_ok or self.cfg.conv_impl == "pallas"
         )
         planes_route = (img_planes is not None and pair_ok
                         and _hcw_route_on("encp"))
@@ -440,14 +436,12 @@ class Network(nn.Module):
         intermediate doesn't cover the 25% stage-A row recompute plus
         the lost cross-tile DMA overlap of two pipelined kernels (same
         mechanism as the fused dual-warp+blend negative, PERF_NOTES).
-        Default is therefore sequential; ATMVFI_HCW_FUSE=1 opts in
-        (trace time), and ATMVFI_HCW_DISABLE=fuse still wins over it."""
-        import os
-
+        Default is therefore sequential; cfg.hcw_fuse_pairs=True opts
+        in, and ATMVFI_HCW_DISABLE=fuse still wins over it."""
         from atmvfi_tpu.ops import conv_pallas as cp
 
         fuse = (
-            os.environ.get("ATMVFI_HCW_FUSE") == "1"
+            self.cfg.hcw_fuse_pairs
             and _hcw_route_on("fuse")
             and cp.pair_run_fits(xh.shape[2], cin, conv_a.features,
                                  conv_b.features, xh.dtype)

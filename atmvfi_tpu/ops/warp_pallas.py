@@ -288,6 +288,152 @@ def _kernel_v2(ymin_ref, xmin_ref, img_ref, flow_ref, out_ref, slab_ref,
         out_ref[ch] = acc.astype(out_ref.dtype)
 
 
+def _kernel_v3(ymin_ref, xmin_ref, img_ref, flow_ref, out_ref, slab_ref,
+               sem, *, H, W, C, S, n_tw, dtype):
+    """Windowed span-loop (v3): same dynamic-trip row span as _kernel_v2
+    but each iteration touches a 16-row slab WINDOW instead of rolling
+    the whole (S, 384) slab:
+
+      * the span row `start` lives in 8-row block qb = start//8 (clipped
+        so qb+1 exists); a dynamic 8-aligned `pl.ds` load grabs rows
+        [8qb, 8qb+16) — 6 vregs instead of the 24-vreg whole-slab roll;
+      * one modular roll of that window aligns slab row (start+i) onto
+        sublane i; indices that wrap read garbage rows that can never
+        match (their true source row is outside the window), so the
+        row-match selects zero them — same masking argument as v2's
+        whole-slab wrap;
+      * the row-match masks and the 4 bilinear tap weights are folded
+        ONCE per span row into two per-column-tap weights (wt0, wt1),
+        hoisted out of the channel loop (v2 recomputed 2 compares + 6
+        multiplies per channel per row).
+
+    Per (row, channel) cost: 1 window load + 1 roll + 6 lane gathers +
+    2 FMAs, vs v2's whole-slab roll + 6 gathers + ~12 elementwise —
+    ~2x less VPU work at C=3. Exactness semantics identical."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    th = t // n_tw
+    tw = t % n_tw
+
+    def slab_dma(slot, tile):
+        return pltpu.make_async_copy(
+            img_ref.at[
+                :,
+                pl.ds(pl.multiple_of(ymin_ref[tile], TILE_H), S),
+                pl.ds(pl.multiple_of(xmin_ref[tile], TILE_W), 3 * TILE_W),
+            ],
+            slab_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        slab_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        slab_dma((t + 1) % 2, t + 1).start()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    gr = th * TILE_H + rows                     # global output row (B*H space)
+    b = gr // H
+    y_img = gr - b * H
+    x = tw * TILE_W + cols
+
+    fx = flow_ref[0]  # planar [2, th, tw] flow block: no lane padding
+    fy = flow_ref[1]
+    sx = x.astype(jnp.float32) + fx
+    sy = y_img.astype(jnp.float32) + fy
+    x0f = jnp.floor(sx)
+    y0f = jnp.floor(sy)
+    wx = sx - x0f
+    wy = sy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    def valid(xi, yi):
+        return ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)).astype(
+            jnp.float32
+        )
+
+    w00 = (1 - wx) * (1 - wy) * valid(x0, y0)
+    w01 = wx * (1 - wy) * valid(x0 + 1, y0)
+    w10 = (1 - wx) * wy * valid(x0, y0 + 1)
+    w11 = wx * wy * valid(x0 + 1, y0 + 1)
+
+    # slab-relative coordinates (independent per-tap clipping, see
+    # _kernel)
+    base = b * H - ymin_ref[t]
+    r_top = jnp.clip(jnp.clip(y0, 0, H - 1) + base, 0, S - 1)
+    r_bot = jnp.clip(jnp.clip(y0 + 1, 0, H - 1) + base, 0, S - 1)
+    c0 = jnp.clip(jnp.clip(x0, 0, W - 1) - xmin_ref[t], 0, 3 * TILE_W - 1)
+    c1 = jnp.clip(jnp.clip(x0 + 1, 0, W - 1) - xmin_ref[t], 0, 3 * TILE_W - 1)
+
+    def page_coords(c):
+        page1 = (c >= TILE_W) & (c < 2 * TILE_W)
+        page2 = c >= 2 * TILE_W
+        cp = jnp.where(page1, c - TILE_W,
+                       jnp.where(page2, c - 2 * TILE_W, c))
+        return page1, page2, jnp.clip(cp, 0, TILE_W - 1)
+
+    p1_0, p2_0, cp0 = page_coords(c0)
+    p1_1, p2_1, cp1 = page_coords(c1)
+
+    slab_dma(t % 2, t).wait()
+    slot = t % 2
+
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    t_top = r_top - iota_i                      # [-7, S-1]
+    t_bot = r_bot - iota_i
+    u_lo = jnp.min(t_top)
+    n_u = jnp.max(t_bot) - u_lo + 1             # dynamic trip count
+
+    def body(u, accs):
+        start = u_lo + u
+        # shared per-row work (hoisted out of the channel loop):
+        # combined per-column-tap weights for this span row
+        top = (t_top == start).astype(jnp.float32)
+        bot = (t_bot == start).astype(jnp.float32)
+        wt0 = top * w00 + bot * w10
+        wt1 = top * w01 + bot * w11
+        # 16-row window holding every in-range slab row start..start+7;
+        # start-qb*8 in [-7, 15] at the clip edges — wrapped reads are
+        # garbage but can never satisfy the row-match (docstring)
+        qb = jnp.clip(start // TILE_H, 0, S // TILE_H - 2)
+        q8 = pl.multiple_of(qb * TILE_H, TILE_H)
+        shift = (qb * TILE_H - start) % (2 * TILE_H)
+
+        new = []
+        for ch in range(C):
+            win = slab_ref[slot, ch, pl.ds(q8, 2 * TILE_H)]
+            rolled = pltpu.roll(win, shift, 0)[:TILE_H]
+            rows_a = rolled[:, :TILE_W]
+            rows_b = rolled[:, TILE_W : 2 * TILE_W]
+            rows_c = rolled[:, 2 * TILE_W :]
+
+            def gather3(p1, p2, cp):
+                g = jnp.take_along_axis(rows_a, cp, axis=1)
+                g = jnp.where(
+                    p1, jnp.take_along_axis(rows_b, cp, axis=1), g
+                )
+                return jnp.where(
+                    p2, jnp.take_along_axis(rows_c, cp, axis=1), g
+                )
+
+            g0 = gather3(p1_0, p2_0, cp0)
+            g1 = gather3(p1_1, p2_1, cp1)
+            new.append(accs[ch] + wt0 * g0 + wt1 * g1)
+        return tuple(new)
+
+    accs = jax.lax.fori_loop(
+        0, n_u, body,
+        tuple(jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(C)),
+    )
+    for ch in range(C):
+        out_ref[ch] = accs[ch].astype(out_ref.dtype)
+
+
 def _kernel_blend(ymin0_ref, xmin0_ref, ymin1_ref, xmin1_ref,
                   img0_ref, img1_ref, flow_ref, out_ref, slab_ref, acc_ref,
                   sem, *, H, W, C, S, n_tw):
@@ -669,6 +815,16 @@ def flow_warp_tiled_nhwc(feature: jnp.ndarray, flow: jnp.ndarray,
     )
 
 
+def _inner_for(kernel: str) -> str:
+    """Kernel-string -> inner-loop flavor ('scan' v1 | 'span' v2 |
+    'win' v3)."""
+    if kernel.startswith("chw_v3"):
+        return "win"
+    if kernel.startswith("chw_v2"):
+        return "span"
+    return "scan"
+
+
 def resolve_warp_impl(impl: str, channels: int) -> Tuple[str, bool]:
     """-> (kernel, interpret) where kernel is 'nhwc' | 'chw' | 'xla'.
 
@@ -695,6 +851,10 @@ def resolve_warp_impl(impl: str, channels: int) -> Tuple[str, bool]:
         return "chw_v2", jax.default_backend() != "tpu"
     if impl == "tiled_v2_unchecked":
         return "chw_v2_unchecked", jax.default_backend() != "tpu"
+    if impl == "tiled_v3":
+        return "chw_v3", jax.default_backend() != "tpu"
+    if impl == "tiled_v3_unchecked":
+        return "chw_v3_unchecked", jax.default_backend() != "tpu"
     if impl == "tiled_nhwc":
         return "nhwc", jax.default_backend() != "tpu"
     if impl == "xla":
@@ -710,8 +870,7 @@ def _tiled_warp(feature, flow, kernel: str, interpret: bool):
         return flow_warp_tiled_nhwc(feature, flow, interpret=interpret)
     return flow_warp_tiled(feature, flow, interpret=interpret,
                            unchecked=kernel.endswith("unchecked"),
-                           inner="span" if kernel.startswith("chw_v2")
-                           else "scan")
+                           inner=_inner_for(kernel))
 
 
 def _tiled_warp_fwd(feature, flow, kernel, interpret):
@@ -748,7 +907,7 @@ def _pallas_path(img_chw, flow, ymin_blk, xmin_blk, *, H, W, C, S, B, dtype,
     n_th, n_tw = BH // TILE_H, W // TILE_W
     n_t = n_th * n_tw
     kernel = functools.partial(
-        _kernel_v2 if inner == "span" else _kernel,
+        {"win": _kernel_v3, "span": _kernel_v2}.get(inner, _kernel),
         H=H, W=W, C=C, S=S, n_tw=n_tw, dtype=dtype
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -978,7 +1137,7 @@ def planar_warp_op(img_chw, flow, B: int, kernel: str, interpret: bool):
     return flow_warp_tiled_planar(
         img_chw, flow, B, interpret=interpret,
         unchecked=kernel.endswith("unchecked"),
-        inner="span" if kernel.startswith("chw_v2") else "scan",
+        inner=_inner_for(kernel),
     )
 
 
@@ -1092,7 +1251,7 @@ def warp_pair_op(im0, im1, flow0, flow1, kernel: str, interpret: bool):
     o0, o1 = _pair_core(
         i0, i1, flow0, flow1, B=B, H=H, W=W, C=C, S=S,
         interpret=interpret, unchecked=kernel.endswith("unchecked"),
-        inner="span" if kernel.startswith("chw_v2") else "scan",
+        inner=_inner_for(kernel),
     )
     back = lambda o: o.transpose(1, 2, 0).reshape(B, H, W, C).astype(dtype)
     return back(o0), back(o1)
@@ -1134,7 +1293,7 @@ def planar_warp_pair_op(img0_chw, img1_chw, flow0, flow1, B: int,
     return _pair_core(
         img0_chw, img1_chw, flow0, flow1, B=B, H=H, W=W, C=C, S=S,
         interpret=interpret, unchecked=kernel.endswith("unchecked"),
-        inner="span" if kernel.startswith("chw_v2") else "scan",
+        inner=_inner_for(kernel),
     )
 
 

@@ -2,12 +2,24 @@
 
 Measures steady-state frames/sec of the base model (global motion on,
 bf16 compute) at 4K (3840x2160 padded to /64 per the demo protocol,
-demo_2x.py:74) plus 1080p and the lite variant for context. Uses
-distinct device-generated frame pairs per call (the serving pattern;
-also avoids any transport-level request dedup).
+demo_2x.py:74) plus 1080p / lite / Vimeo-res context configs. The
+headline metric is base-4K fps; the reference's own claim is "24 fps
+2x on GPU" at Vimeo res (/root/reference/README.md:59).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Context lines go to stderr.
+Engineered to the driver's wall-clock budget (round-3 VERDICT item 1):
+
+  * the persistent JAX compilation cache is enabled up front, so a
+    primed run (builder runs `python bench.py` once before round end)
+    is compile-cache-hits only;
+  * the HEADLINE config (base 4K) runs FIRST and its JSON line prints
+    immediately — every later config re-prints an updated line, and
+    the driver takes the last parsed line, so a timeout kill after the
+    first measurement still lands a number;
+  * a wall-clock budget (env BENCH_BUDGET_S, default 1200 s) skips
+    remaining configs once exceeded and prints what was measured.
+
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Context lines go to stderr; the LAST stdout line is the result.
 """
 import json
 import os
@@ -17,9 +29,39 @@ import time
 
 import numpy as np
 
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def over_budget(label):
+    used = time.time() - T_START
+    if used > BUDGET_S:
+        log(f"bench: budget {BUDGET_S:.0f}s exceeded ({used:.0f}s used) "
+            f"— skipping {label} and finishing with what was measured")
+        return True
+    return False
+
+
+def enable_compile_cache():
+    """Persistent compilation cache (same recipe as __graft_entry__.py):
+    a primed cache turns the multi-minute single-core XLA compiles into
+    sub-second loads on repeat runs. Never a requirement."""
+    import jax
+
+    try:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:
+        log(f"bench: compile cache unavailable ({e!r}); continuing")
 
 
 def _arm_init_watchdog(seconds=900):
@@ -95,9 +137,6 @@ def bench_vimeo_res(variant, iters=20):
         lambda a, b: net.init(jax.random.PRNGKey(0), a, b, global_motion=False)
     )(dummy, dummy)
     jax.block_until_ready(variables)
-    fwd = jax.jit(
-        lambda v, a, b: net.apply(v, a, b, global_motion=False)["I_t"]
-    )
     stacked = _frame_pairs(0, iters, 256, 448)
     # at this size the ~30 ms relay fence dominates a per-call loop, so
     # run the iters as ONE lax.scan (body compiled once, iterations
@@ -155,47 +194,40 @@ def bench_resolution(variables, net, h, w, iters):
     return 1.0 / dt
 
 
+def emit(fps_4k, extra):
+    """Print the result line. Called after EVERY measurement so a
+    timeout kill mid-run still leaves a parseable last line."""
+    result = {
+        "metric": "fps_4k_2x_base_bf16",
+        "value": round(fps_4k, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps_4k / 30.0, 3),
+        "extra": dict(extra),
+    }
+    print(json.dumps(result), flush=True)
+
+
 def main():
+    enable_compile_cache()
     import jax
 
     armed = _arm_init_watchdog()
     dev = jax.devices()[0]
     armed.set()  # backend is up; disarm
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')} "
+        f"(budget {BUDGET_S:.0f}s)")
 
+    extra = {}
+
+    # --- headline FIRST: base 4K ---
     variables, bnet = build("base")
-    fps_1080 = bench_resolution(variables, bnet, 1080, 1920, 8)
-    log(f"base 1080p 2x interp: {fps_1080:.2f} fps/chip")
     fps_4k = bench_resolution(variables, bnet, 2160, 3840, 4)
-    log(f"base 4K 2x interp: {fps_4k:.2f} fps/chip")
+    log(f"base 4K 2x interp: {fps_4k:.2f} fps/chip "
+        f"[{time.time()-T_START:.0f}s elapsed]")
+    emit(fps_4k, extra)  # number on the record before anything else
 
-    lvars, lnet = build("lite")
-    lite_1080 = bench_resolution(lvars, lnet, 1080, 1920, 8)
-    lite_4k = bench_resolution(lvars, lnet, 2160, 3840, 4)
-    log(f"lite 1080p {lite_1080:.2f} fps | lite 4K {lite_4k:.2f} fps")
-
-    # fast serving profile (unchecked slab warps + composed full-res
-    # warps; same params — deviation documented in PERF_NOTES.md)
-    from atmvfi_tpu.models import Network as _Net, get_config as _gc
-    import jax.numpy as _jnp
-
-    fnet = _Net(_gc("lite", dtype=_jnp.bfloat16).fast())
-    lite_fast_4k = bench_resolution(lvars, fnet, 2160, 3840, 4)
-    log(f"lite FAST 4K {lite_fast_4k:.2f} fps")
-
-    vimeo_fps = bench_vimeo_res("base")
-    log(f"base 448x256 (Vimeo protocol res): {vimeo_fps:.1f} fps "
-        f"(reference demo claim: 24 fps 2x on GPU)")
-
-    # counted-FLOP speed-of-light (jaxpr trace, no compile) so every
-    # BENCH records fps alongside %-of-roofline (VERDICT r2 item 5)
-    extra = {
-        "base_fps_1080p": round(fps_1080, 3),
-        "lite_fps_1080p": round(lite_1080, 3),
-        "lite_fps_4k": round(lite_4k, 3),
-        "lite_fast_fps_4k": round(lite_fast_4k, 3),
-        "base_fps_448x256_vimeo_res": round(vimeo_fps, 3),
-    }
+    # counted-FLOP speed-of-light (jaxpr trace, no device compile) so
+    # every BENCH records fps alongside %-of-roofline (VERDICT r2 item 5)
     try:
         from atmvfi_tpu.utils.roofline import model_roofline
 
@@ -207,22 +239,60 @@ def main():
             "base_4k_pct_of_sol": round(100 * fps_4k / rb["sol_fps"], 1),
             "base_4k_bound": rb["bound"],
             "lite_4k_sol_fps": round(rl["sol_fps"], 2),
-            "lite_4k_pct_of_sol": round(100 * lite_4k / rl["sol_fps"], 1),
             "lite_4k_bound": rl["bound"],
         })
         log(f"roofline: base 4K SOL {rb['sol_fps']:.1f} fps ({rb['bound']}"
             f"-bound), lite 4K SOL {rl['sol_fps']:.1f} fps ({rl['bound']})")
+        emit(fps_4k, extra)
     except Exception as e:  # roofline must never sink the bench number
         log(f"roofline computation skipped: {e!r}")
 
-    result = {
-        "metric": "fps_4k_2x_base_bf16",
-        "value": round(fps_4k, 3),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps_4k / 30.0, 3),
-        "extra": extra,
-    }
-    print(json.dumps(result))
+    # --- context configs, cheapest-information-per-second first; each
+    # one re-prints the line, and each is budget-gated ---
+    if not over_budget("base 1080p"):
+        fps_1080 = bench_resolution(variables, bnet, 1080, 1920, 8)
+        log(f"base 1080p 2x interp: {fps_1080:.2f} fps/chip")
+        extra["base_fps_1080p"] = round(fps_1080, 3)
+        emit(fps_4k, extra)
+
+    lvars = lnet = None
+    if not over_budget("lite"):
+        lvars, lnet = build("lite")
+        lite_4k = bench_resolution(lvars, lnet, 2160, 3840, 4)
+        extra["lite_fps_4k"] = round(lite_4k, 3)
+        if "lite_4k_sol_fps" in extra:
+            extra["lite_4k_pct_of_sol"] = round(
+                100 * lite_4k / extra["lite_4k_sol_fps"], 1
+            )
+        log(f"lite 4K {lite_4k:.2f} fps")
+        emit(fps_4k, extra)
+
+    if lvars is not None and not over_budget("lite 1080p"):
+        lite_1080 = bench_resolution(lvars, lnet, 1080, 1920, 8)
+        extra["lite_fps_1080p"] = round(lite_1080, 3)
+        log(f"lite 1080p {lite_1080:.2f} fps")
+        emit(fps_4k, extra)
+
+    if lvars is not None and not over_budget("lite fast 4K"):
+        # fast serving profile (unchecked slab warps + composed full-res
+        # warps; same params — deviation documented in PERF_NOTES.md)
+        from atmvfi_tpu.models import Network as _Net, get_config as _gc
+        import jax.numpy as _jnp
+
+        fnet = _Net(_gc("lite", dtype=_jnp.bfloat16).fast())
+        lite_fast_4k = bench_resolution(lvars, fnet, 2160, 3840, 4)
+        extra["lite_fast_fps_4k"] = round(lite_fast_4k, 3)
+        log(f"lite FAST 4K {lite_fast_4k:.2f} fps")
+        emit(fps_4k, extra)
+
+    if not over_budget("vimeo res"):
+        vimeo_fps = bench_vimeo_res("base")
+        extra["base_fps_448x256_vimeo_res"] = round(vimeo_fps, 3)
+        log(f"base 448x256 (Vimeo protocol res): {vimeo_fps:.1f} fps "
+            f"(reference demo claim: 24 fps 2x on GPU)")
+        emit(fps_4k, extra)
+
+    log(f"bench done in {time.time()-T_START:.0f}s")
 
 
 if __name__ == "__main__":

@@ -13,7 +13,9 @@ cd /root/repo
 
 # Stop STARTING new steps after this instant so the device claim is
 # free for the driver's round-end bench (override: HWQ_DEADLINE=<epoch>).
-DEADLINE=${HWQ_DEADLINE:-$(date -d '2026-08-19 07:30 UTC' +%s)}
+# Default: 4 h from queue start — a RELATIVE guard (the round-3 absolute
+# date was stale on re-run and silently SKIPPED every step).
+DEADLINE=${HWQ_DEADLINE:-$(( $(date +%s) + 4*3600 ))}
 
 run() { # run <timeout_s> <name> <cmd...>
   local t=$1 name=$2; shift 2

@@ -10,6 +10,7 @@ true, no per-frame relay fences), lite + base at 1080p and 4K.
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_attn_ab.py
 """
 import dataclasses
+import sys
 import time
 
 import jax
@@ -18,6 +19,8 @@ import jax.numpy as jnp
 from atmvfi_tpu.models import Network, get_config
 
 print(f"device: {jax.devices()[0]}", flush=True)
+
+QUICK = "--quick" in sys.argv  # headline pair only: lite 4K + base 1080p
 
 dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
 k1, k2 = jax.random.split(jax.random.PRNGKey(0))
@@ -31,7 +34,10 @@ for variant in ("lite", "base"):
     )(dummy, dummy)
     jax.block_until_ready(variables)
 
-    for h, w in ((1088, 1920), (2176, 3840)):
+    res_list = ((1088, 1920), (2176, 3840))
+    if QUICK:
+        res_list = ((2176, 3840),) if variant == "lite" else ((1088, 1920),)
+    for h, w in res_list:
         gen = jax.jit(lambda k1, k2: (
             jax.random.uniform(k1, (1, h, w, 3), jnp.float32),
             jnp.roll(jax.random.uniform(k1, (1, h, w, 3), jnp.float32),

@@ -8,13 +8,19 @@ Cost: 2 recomputed mid rows per 8-output-row step (~25% stage-A row
 recompute). This A/B measures whether the saved HBM round trip beats
 the recompute at the real model shapes.
 
-ATMVFI_HCW_DISABLE=fuse (read at TRACE time) forces the sequential
-two-kernel form, so one process A/Bs by toggling between fresh jits.
+Since the 2026-08-20 default flip (device A/B negative: fused lost
+1.1-1.5% in-model), the SEQUENTIAL form is the default and the fused
+kernel is opt-in via cfg.hcw_fuse_pairs=True (round-4: migrated from
+the ATMVFI_HCW_FUSE env var into the config so the route matrix is
+enumerable). Each arm asserts its route was
+actually taken by counting Pallas custom calls in the lowered HLO
+(every fused pair site collapses two kernels into one), so the A/B and
+the --check exactness guard can't silently compare a path against
+itself (round-3 ADVICE finding).
 
 Run (exclusive — no concurrent CPU load):
   PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/tpu_fusepair_ab.py
 """
-import os
 import sys
 import time
 
@@ -28,9 +34,27 @@ from atmvfi_tpu.models import Network, get_config
 print(f"device: {jax.devices()[0]}", flush=True)
 
 
-def frame_time(variant, h, w, iters):
-    cfg = get_config(variant, dtype=jnp.bfloat16)
-    net = Network(cfg)
+def build_cfg(variant, mode):
+    """Config for one A/B arm: the fused pair route is the
+    cfg.hcw_fuse_pairs field (round-4 migration off the env var)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        get_config(variant, dtype=jnp.bfloat16),
+        hcw_fuse_pairs=(mode == "fused"),
+    )
+
+
+def custom_call_count(net, variables, x0, x1):
+    """Number of Pallas custom calls in the lowered serving graph —
+    the route-taken witness: fused < sequential, strictly."""
+    lowered = jax.jit(lambda v, a, b: net.apply(
+        v, a, b, global_motion=True)["I_t"]).lower(variables, x0, x1)
+    return lowered.as_text().count("tpu_custom_call")
+
+
+def frame_time(variant, h, w, iters, mode):
+    net = Network(build_cfg(variant, mode))
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = jax.jit(
         lambda a, b: net.init(jax.random.PRNGKey(0), a, b,
@@ -65,27 +89,33 @@ def frame_time(variant, h, w, iters):
 def exactness_check(variant, h, w):
     """Fused vs sequential outputs at real weights/shapes ON DEVICE —
     guards the Mosaic compile path, which interpret-mode CI can't."""
-    cfg = get_config(variant, dtype=jnp.bfloat16)
-    net = Network(cfg)
+    net_f = Network(build_cfg(variant, "fused"))
+    net_s = Network(build_cfg(variant, "sequential"))
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = jax.jit(
-        lambda a, b: net.init(jax.random.PRNGKey(0), a, b,
-                              global_motion=True)
+        lambda a, b: net_s.init(jax.random.PRNGKey(0), a, b,
+                                global_motion=True)
     )(dummy, dummy)
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
     x0 = jax.random.uniform(k1, (1, h, w, 3), jnp.float32)
     x1 = jax.random.uniform(k2, (1, h, w, 3), jnp.float32)
 
-    def run():
+    def run(net):
         f = jax.jit(lambda v, a, b: net.apply(
             v, a, b, global_motion=True)["I_t"])
         return np.asarray(f(variables, x0, x1), np.float32)
 
-    os.environ.pop("ATMVFI_HCW_DISABLE", None)
-    yf = run()
-    os.environ["ATMVFI_HCW_DISABLE"] = "fuse"
-    ys = run()
-    os.environ.pop("ATMVFI_HCW_DISABLE", None)
+    nf = custom_call_count(net_f, variables, x0, x1)
+    yf = run(net_f)
+    ns = custom_call_count(net_s, variables, x0, x1)
+    ys = run(net_s)
+    print(f"route witness {variant}: {nf} custom calls fused vs {ns} "
+          f"sequential", flush=True)
+    assert nf < ns, (
+        "fused arm traced the same kernel count as sequential — the "
+        "hcw_fuse_pairs config did not take effect; exactness check "
+        "would be vacuous"
+    )
     d = np.abs(yf - ys).max()
     print(f"exactness {variant} {h}x{w}: max|fused-seq| = {d:.3e}",
           flush=True)
@@ -108,12 +138,8 @@ else:
              ("base", 1088, 1920, 8), ("base", 2176, 3840, 4)]
 results = {}
 for mode in ("fused", "sequential"):
-    if mode == "sequential":
-        os.environ["ATMVFI_HCW_DISABLE"] = "fuse"
-    else:
-        os.environ.pop("ATMVFI_HCW_DISABLE", None)
     for variant, h, w, iters in CASES:
-        dt = frame_time(variant, h, w, iters)
+        dt = frame_time(variant, h, w, iters, mode)
         results[(mode, variant, h)] = dt
         print(f"{mode:10s} {variant} {h}x{w}: {dt:7.1f} ms/frame "
               f"= {1e3/dt:.2f} fps", flush=True)

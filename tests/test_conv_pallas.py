@@ -474,10 +474,10 @@ def test_conv3x3_pair_gradients_match_xla():
         )
 
 
-def test_model_fused_pair_route_matches_sequential(monkeypatch):
+def test_model_fused_pair_route_matches_sequential():
     """Full lite forward: the fused conv-pair sites (opt-in via
-    ATMVFI_HCW_FUSE=1; default is the sequential two-kernel form after
-    the 2026-08-20 device A/B) agree to float tolerance under
+    cfg.hcw_fuse_pairs=True; default is the sequential two-kernel form
+    after the 2026-08-20 device A/B) agree to float tolerance under
     conv_impl='pallas'."""
     import dataclasses
     from atmvfi_tpu.models import Network, get_config
@@ -488,9 +488,8 @@ def test_model_fused_pair_route_matches_sequential(monkeypatch):
     im1 = jnp.asarray(rng.random((1, 64, 128, 3)), jnp.float32)
     net = Network(cfg)
     variables = net.init(jax.random.PRNGKey(0), im0, im1)
-    monkeypatch.setenv("ATMVFI_HCW_FUSE", "1")
-    out_fused = net.apply(variables, im0, im1, global_motion=True)
-    monkeypatch.delenv("ATMVFI_HCW_FUSE")
+    net_fused = Network(dataclasses.replace(cfg, hcw_fuse_pairs=True))
+    out_fused = net_fused.apply(variables, im0, im1, global_motion=True)
     out_seq = net.apply(variables, im0, im1, global_motion=True)
     np.testing.assert_allclose(
         np.asarray(out_fused["I_t"]), np.asarray(out_seq["I_t"]),
