@@ -854,6 +854,205 @@ class Network(nn.Module):
         return f0, f1
 
     # ------------------------------------------------------------------
+    # spatially-sharded serving split (parallel/spatial.py)
+    #
+    # The forward is cut at the scale-0 decoder stage: everything at
+    # <= 1/2 resolution (encoder, fusion, attention, global/local
+    # motion, decoder stages 2 and 1) is the HEAD — cheap enough to
+    # compute replicated per shard on the full frames — and the
+    # full-resolution TAIL (scale-0 decoder stage, pre-align + blend
+    # warps, refiner U-Net) runs per shard on a slab of
+    # local-rows + margin. Convs erode the slab edges by their
+    # receptive field (cropped away); warps read FULL all-gathered
+    # sources via the source-offset ops, so any flow magnitude stays
+    # exact. Serving-only (B == 1, no training outputs).
+    # ------------------------------------------------------------------
+    def serving_head(self, im0, im1, global_motion: bool = True):
+        """Replicated head: full frames -> tail inputs.
+
+        Returns (feat, skips, gf0_full, gf1_full): feat is the scale-1
+        decoder output at 1/2 res (fd2+mo channels), skips the refiner
+        skip features [1/4, 1/2], gf*_full the full-res upsampled
+        global flows (None when global_motion=False). Mirrors
+        __call__'s orchestration (same module call ORDER, so the param
+        tree binds identically) minus the scale-0 tail and the
+        training-only warped-pyramid outputs."""
+        c = self.cfg
+        im0 = im0.astype(jnp.float32)
+        im1 = im1.astype(jnp.float32)
+        B = im0.shape[0]
+        im0_list: List[jnp.ndarray] = [im0]
+        im1_list: List[jnp.ndarray] = [im1]
+        for _ in range(c.pyramid_level - 1):
+            im0_list.append(ops.downsample_2x(im0_list[-1]))
+            im1_list.append(ops.downsample_2x(im1_list[-1]))
+        x, feat_scale_level = self.shared_feat_extraction(
+            jnp.concatenate([im0, im1], axis=0).astype(c.dtype)
+        )
+        feat = self.cross_scale_feature_fusion(feat_scale_level)
+
+        gf0_full = gf1_full = None
+        if global_motion:
+            gf0, gf1, _ = self.estimate_global_motion(x, feat_scale_level)
+            gf0 = ops.upsample_flow(gf0, 2)
+            gf1 = ops.upsample_flow(gf1, 2)
+            feat = jnp.concatenate(
+                [self._warp(feat[:B], gf0), self._warp(feat[B:], gf1)],
+                axis=0,
+            )
+            for i in reversed(range(c.pyramid_level)):
+                if i == 0:
+                    gf0_full, gf1_full = gf0, gf1
+                    continue
+                im0_list[i], im1_list[i] = self._warp_pair(
+                    im0_list[i], im1_list[i], gf0, gf1
+                )
+                gf0 = ops.upsample_flow(gf0, 2)
+                gf1 = ops.upsample_flow(gf1, 2)
+
+        flow0, flow1, occ1, feat, out = self.estimate_local_motion(feat)
+        feat = self.shared_feat_enhancement(feat)
+        feat = jnp.concatenate([feat[:B], feat[B:]], axis=-1)
+        fd1 = c.decoder_dims[0]
+        feat = jnp.concatenate(
+            [
+                self._warp(feat[..., :fd1], flow0),
+                self._warp(feat[..., fd1 : 2 * fd1], flow1),
+                out,
+            ],
+            axis=-1,
+        )
+        skips = []
+        mo = c.motion_out_dim
+        for stage in (self.upsample0, self.upsample1):
+            feat = self._decoder_stage(stage, feat)
+            skips.append(feat[..., :-mo])
+        return feat, skips, gf0_full, gf1_full
+
+    def serving_tail(self, feat_slab, skips_slab, im0_pl, im1_pl,
+                     gf0_slab, gf1_slab, slab_row0, crop_off: int,
+                     h_loc: int, axis_name: str,
+                     global_motion: bool = True):
+        """Sharded tail: one slab of rows -> the shard's I_t rows.
+
+        feat_slab: [1, Hs/2, W/2, fd2+mo] slice of the head's scale-1
+        output; skips_slab: [1/4, 1/2]-res slices; im0_pl/im1_pl:
+        FULL-frame planar [3, H, W] f32 sources; gf*_slab: full-res
+        global flows for the slab rows (None when global_motion off);
+        slab_row0: traced int32 global row of slab row 0; crop_off:
+        traced row offset of the shard's true rows inside the slab;
+        axis_name: the shard_map spatial axis (for the pre-aligned
+        source all-gather). Returns I_t [1, h_loc, W, 3] f32."""
+        from atmvfi_tpu.ops.warp_pallas import (
+            planar_warp_pair_srcfull,
+            planar_to_nhwc,
+        )
+
+        c = self.cfg
+        mo = c.motion_out_dim
+        fd3 = c.decoder_dims[2]
+        W = im0_pl.shape[2]
+        compose = global_motion and c.compose_full_res_warps
+
+        # scale-0 pre-align on the slab (full sources, exact for any
+        # global flow); compose mode leaves the images unwarped
+        if global_motion and not compose:
+            p0, p1 = planar_warp_pair_srcfull(
+                im0_pl, im1_pl, gf0_slab, gf1_slab, slab_row0,
+                impl=c.warp_impl,
+            )
+        else:
+            hs = gf0_slab.shape[1] if gf0_slab is not None \
+                else 2 * feat_slab.shape[1]
+            p0 = jax.lax.dynamic_slice_in_dim(im0_pl, slab_row0, hs, 1)
+            p1 = jax.lax.dynamic_slice_in_dim(im1_pl, slab_row0, hs, 1)
+
+        # blend-warp sources must be the PRE-ALIGNED full images: crop
+        # each shard's true rows and all-gather (the decoder's local
+        # flows are unbounded, so a halo cannot carry this exactly)
+        p0_loc = jax.lax.dynamic_slice_in_dim(p0, crop_off, h_loc, 1)
+        p1_loc = jax.lax.dynamic_slice_in_dim(p1, crop_off, h_loc, 1)
+        p0_full = jax.lax.all_gather(p0_loc, axis_name, axis=1, tiled=True)
+        p1_full = jax.lax.all_gather(p1_loc, axis_name, axis=1, tiled=True)
+
+        res = self._decoder_stage(self.upsample2, feat_slab,
+                                  want_hcw=True)
+        if not isinstance(res, tuple):
+            # HCW route refused this slab shape: NHWC fallback tail
+            return self._serving_tail_nhwc(
+                res, skips_slab, p0_full, p1_full, im0_pl, im1_pl,
+                gf0_slab, gf1_slab, slab_row0, crop_off, h_loc,
+                compose,
+            )
+        feat_hcw, w_out = res
+        BH_s, _, Wp = feat_hcw.shape
+        Hs = BH_s  # B == 1
+        m = feat_hcw[:, fd3 : fd3 + mo, :w_out].astype(jnp.float32)
+        flow0 = jnp.stack([m[:, 0], m[:, 1]], -1).reshape(1, Hs, w_out, 2)
+        flow1 = jnp.stack([m[:, 2], m[:, 3]], -1).reshape(1, Hs, w_out, 2)
+        if compose:
+            flow0 = flow0 + gf0_slab
+            flow1 = flow1 + gf1_slab
+        occ_pl = jax.nn.sigmoid(m[:, 4])  # [Hs, w]
+        w0p, w1p = planar_warp_pair_srcfull(
+            p0_full, p1_full, flow0, flow1, slab_row0, impl=c.warp_impl
+        )
+        I_tp = occ_pl[None] * w0p + (1.0 - occ_pl[None]) * w1p
+
+        im0_slab = jax.lax.dynamic_slice_in_dim(im0_pl, slab_row0, Hs, 1)
+        im1_slab = jax.lax.dynamic_slice_in_dim(im1_pl, slab_row0, Hs, 1)
+        planes15 = jnp.concatenate(
+            [im0_slab, w0p, im1_slab, w1p, I_tp], axis=0
+        )
+        if Wp != w_out:
+            planes15 = jnp.pad(planes15, ((0, 0), (0, 0), (0, Wp - w_out)))
+        residual = self.residual_refinement_planar(
+            feat_hcw, fd3 + mo, w_out, 1, planes15, skips_slab
+        )
+        I_t = planar_to_nhwc(I_tp, 1)
+        I_t = jnp.clip(I_t + residual.astype(jnp.float32), 0.0, 1.0)
+        return jax.lax.dynamic_slice_in_dim(I_t, crop_off, h_loc, 1)
+
+    def _serving_tail_nhwc(self, feat, skips_slab, p0_full, p1_full,
+                           im0_pl, im1_pl, gf0_slab, gf1_slab,
+                           slab_row0, crop_off, h_loc, compose):
+        """NHWC fallback tail (slab shapes the HCW route refused):
+        decoder stage already ran; warps sample the full pre-aligned
+        sources via the source-offset XLA path."""
+        from atmvfi_tpu.ops.warp_pallas import (
+            _srcfull_xla,
+            planar_to_nhwc,
+        )
+
+        c = self.cfg
+        mo = c.motion_out_dim
+        out_f = feat[..., -mo:].astype(jnp.float32)
+        flow0 = out_f[..., 0:2]
+        flow1 = out_f[..., 2:4]
+        if compose:
+            flow0 = flow0 + gf0_slab
+            flow1 = flow1 + gf1_slab
+        occ1 = jax.nn.sigmoid(out_f[..., 4:5])
+        off = jnp.zeros((1, 1, 2), jnp.float32).at[0, 0, 1].set(
+            1.0
+        ) * slab_row0.astype(jnp.float32)
+        w0 = planar_to_nhwc(_srcfull_xla(p0_full, flow0[0] + off), 1)
+        w1 = planar_to_nhwc(_srcfull_xla(p1_full, flow1[0] + off), 1)
+        I_t = occ1 * w0 + (1.0 - occ1) * w1
+        Hs = feat.shape[1]
+        im0_s = planar_to_nhwc(
+            jax.lax.dynamic_slice_in_dim(im0_pl, slab_row0, Hs, 1), 1
+        )
+        im1_s = planar_to_nhwc(
+            jax.lax.dynamic_slice_in_dim(im1_pl, slab_row0, Hs, 1), 1
+        )
+        residual = self.residual_refinement(
+            feat, im0_s, w0, im1_s, w1, I_t, skips_slab
+        )
+        I_t = jnp.clip(I_t + residual.astype(jnp.float32), 0.0, 1.0)
+        return jax.lax.dynamic_slice_in_dim(I_t, crop_off, h_loc, 1)
+
+    # ------------------------------------------------------------------
     # main forward
     # ------------------------------------------------------------------
     def __call__(self, im0, im1, global_motion: bool = True,

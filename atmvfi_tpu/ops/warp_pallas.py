@@ -525,43 +525,52 @@ def _kernel_blend(ymin0_ref, xmin0_ref, ymin1_ref, xmin1_ref,
         p1_0, p2_0, cp0 = page_coords(c0)
         p1_1, p2_1, cp1 = page_coords(c1)
 
-        r_lo = jnp.min(r_top)
-        r_hi = jnp.max(r_bot)
+        # windowed span loop (v3 inner — see _kernel_v3): dynamic trip
+        # over the tile's actual row spread, 16-row window loads
+        # instead of whole-slab rolls, per-row weight folding
+        t_top = r_top - iota_i
+        t_bot = r_bot - iota_i
+        u_lo = jnp.min(t_top)
+        n_u = jnp.max(t_bot) - u_lo + 1
+
+        def span_body(u, accs):
+            start = u_lo + u
+            top = (t_top == start).astype(jnp.float32)
+            bot = (t_bot == start).astype(jnp.float32)
+            wt0 = top * w00 + bot * w10
+            wt1 = top * w01 + bot * w11
+            qb = jnp.clip(start // TILE_H, 0, S // TILE_H - 2)
+            q8 = pl.multiple_of(qb * TILE_H, TILE_H)
+            shift = (qb * TILE_H - start) % (2 * TILE_H)
+            new = []
+            for ch in range(C):
+                win = slab_ref[slot, img, ch, pl.ds(q8, 2 * TILE_H)]
+                rolled = pltpu.roll(win, shift, 0)[:TILE_H]
+                rows_a = rolled[:, :TILE_W]
+                rows_b = rolled[:, TILE_W : 2 * TILE_W]
+                rows_c = rolled[:, 2 * TILE_W :]
+
+                def gather3(p1, p2, cp):
+                    g = jnp.take_along_axis(rows_a, cp, axis=1)
+                    g = jnp.where(
+                        p1, jnp.take_along_axis(rows_b, cp, axis=1), g
+                    )
+                    return jnp.where(
+                        p2, jnp.take_along_axis(rows_c, cp, axis=1), g
+                    )
+
+                g0 = gather3(p1_0, p2_0, cp0)
+                g1 = gather3(p1_1, p2_1, cp1)
+                new.append(accs[ch] + wt0 * g0 + wt1 * g1)
+            return tuple(new)
+
+        accs = jax.lax.fori_loop(
+            0, n_u, span_body,
+            tuple(jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                  for _ in range(C)),
+        )
         for ch in range(C):
-            acc_ref[img, ch] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        for q in range(S // TILE_H):
-            @pl.when((q * TILE_H <= r_hi) & (r_lo < (q + 1) * TILE_H))
-            def _(q=q):
-                for ch in range(C):
-                    acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                    blk = slab_ref[slot, img, ch,
-                                   q * TILE_H : (q + 1) * TILE_H, :]
-                    blk_a = blk[:, :TILE_W]
-                    blk_b = blk[:, TILE_W : 2 * TILE_W]
-                    blk_c = blk[:, 2 * TILE_W :]
-                    for d in range(TILE_H):
-                        shift = (TILE_H - d) % TILE_H
-                        rows_a = pltpu.roll(blk_a, shift, 0) if d else blk_a
-                        rows_b = pltpu.roll(blk_b, shift, 0) if d else blk_b
-                        rows_c = pltpu.roll(blk_c, shift, 0) if d else blk_c
-                        srow = q * TILE_H + (iota_i + d) % TILE_H
-
-                        def gather3(p1, p2, cp):
-                            g = jnp.take_along_axis(rows_a, cp, axis=1)
-                            g = jnp.where(
-                                p1, jnp.take_along_axis(rows_b, cp, axis=1), g
-                            )
-                            return jnp.where(
-                                p2, jnp.take_along_axis(rows_c, cp, axis=1), g
-                            )
-
-                        g0 = gather3(p1_0, p2_0, cp0)
-                        g1 = gather3(p1_1, p2_1, cp1)
-                        top = (r_top == srow).astype(jnp.float32)
-                        bot = (r_bot == srow).astype(jnp.float32)
-                        acc = acc + top * (w00 * g0 + w01 * g1)
-                        acc = acc + bot * (w10 * g0 + w11 * g1)
-                    acc_ref[img, ch] += acc
+            acc_ref[img, ch] = accs[ch]
 
     slab_dma(0, slot, ymin0_ref, xmin0_ref, t).wait()
     accumulate(0, flow_ref[0], flow_ref[1], ymin0_ref[t], xmin0_ref[t])
@@ -833,13 +842,15 @@ def resolve_warp_impl(impl: str, channels: int) -> Tuple[str, bool]:
     gather. The NHWC-lane-space variant ('tiled_nhwc') avoids the CHW
     transposes but pays 3x per-lane weight math and an extra gather
     page — measured net-slower at model level (244 vs 218 ms @1080p).
-    'auto' resolves to the span-loop v2 flavor ('chw_v2'): the
-    2026-08-19 v5e A/B (scripts/tpu_warp_v2_ab.py) measured lite-4K
-    544.1 ms/frame with v2 vs 559.4 with v1 in-model (standalone at
-    high flow spread v1 is faster — 31 vs 58 ms/warp at mag 12
-    unchecked — but model flows are small and v2 wins end-to-end).
-    Forcing a tiled kernel off-TPU runs it in interpret mode (CPU
-    tests).
+    'auto' resolves to the windowed span-loop v3 flavor ('chw_v3'):
+    the 2026-08-20 v5e A/B (scripts/tpu_warp_v2_ab.py) measured
+    standalone 4K C=3 15.98 ms/warp (v3) vs 21.15 (v1) / 27.06 (v2)
+    at mag-4 flows, 28.3 vs 56.5 (v2) at mag-12 unchecked, bit-exact
+    vs the XLA gather on device (max|d| = 0.0), and lite-4K in-model
+    372.6 ms/frame vs 381.2 with v2. (History: 'auto' was v2 in round
+    3 — v2 beat v1 in-model 544 vs 559 — and v3 strictly dominates
+    both.) Forcing a tiled kernel off-TPU runs it in interpret mode
+    (CPU tests).
     """
     if impl in ("tiled", "tiled_chw"):
         return "chw", jax.default_backend() != "tpu"
@@ -860,7 +871,7 @@ def resolve_warp_impl(impl: str, channels: int) -> Tuple[str, bool]:
     if impl == "xla":
         return "xla", False
     if jax.default_backend() == "tpu" and channels <= 4:
-        return "chw_v2", False
+        return "chw_v3", False
     return "xla", False
 
 
@@ -902,9 +913,16 @@ def _tile_minmax(v, n_th, n_tw):
 
 
 def _pallas_path(img_chw, flow, ymin_blk, xmin_blk, *, H, W, C, S, B, dtype,
-                 interpret=False, inner="scan"):
+                 interpret=False, inner="scan", BH_out=None):
+    """BH_out (spatial serving): emit only BH_out output rows while the
+    SOURCE image keeps its full B*H rows — the caller folds the global
+    row offset into the flow's y component, so the kernel's local
+    output rows sample global source coordinates. Requires B == 1
+    upstream (the kernel's batch decode gr // H must stay 0)."""
     BH = B * H
-    n_th, n_tw = BH // TILE_H, W // TILE_W
+    if BH_out is None:
+        BH_out = BH
+    n_th, n_tw = BH_out // TILE_H, W // TILE_W
     n_t = n_th * n_tw
     kernel = functools.partial(
         {"win": _kernel_v3, "span": _kernel_v2}.get(inner, _kernel),
@@ -934,7 +952,7 @@ def _pallas_path(img_chw, flow, ymin_blk, xmin_blk, *, H, W, C, S, B, dtype,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((C, BH, W), dtype),
+        out_shape=jax.ShapeDtypeStruct((C, BH_out, W), dtype),
         interpret=interpret,
     )(ymin_blk, xmin_blk, img_chw, flow)
     return out
@@ -1322,6 +1340,129 @@ def flow_warp_planar_pair_dispatch(img0_chw, img1_chw, flow0, flow1,
     kernel, interpret = resolve_warp_impl(impl, img0_chw.shape[0])
     return planar_warp_pair_op(img0_chw, img1_chw, flow0, flow1, B,
                                kernel, interpret)
+
+
+# ----------------------------------------------------------------------
+# source-offset planar warps (spatial sharding)
+#
+# Under shard_map spatial serving (parallel/spatial.py), each shard
+# computes a SLAB of output rows while the warp SOURCE is the full
+# (all-gathered) image — backward warps read wherever the flow points,
+# so unlike convs they cannot run on a bounded halo without changing
+# semantics. The global row offset of the slab is folded into the
+# flow's y component (the kernel's sy = local_row + fy then lands on
+# global source coordinates), the slab extents are computed in global
+# row space, and the kernel's grid covers only the slab rows
+# (_pallas_path BH_out). Exactness rules identical to the full-frame
+# ops: per-call cond falls back to the XLA gather on the full source.
+# B == 1 only (serving).
+# ----------------------------------------------------------------------
+
+def _slab_extents_srcfull(flow_adj, W: int, S: int, H_full: int):
+    """Per-tile slab origins for a source-offset warp.
+
+    flow_adj: [H_out, W, 2] f32 with the global row offset ALREADY
+    folded into [..., 1]. Origins are in full-source row space."""
+    H_out = flow_adj.shape[0]
+    n_th, n_tw = H_out // TILE_H, W // TILE_W
+    fx = flow_adj[..., 0]
+    fy = flow_adj[..., 1]
+    col = jax.lax.broadcasted_iota(jnp.float32, (H_out, W), 1)
+    row = jax.lax.broadcasted_iota(jnp.float32, (H_out, W), 0)
+    x0 = jnp.floor(col + fx).astype(jnp.int32)
+    y0 = jnp.floor(row + fy).astype(jnp.int32)
+    xmin_t = jnp.clip(x0, 0, W - 1)
+    xmax_t = jnp.clip(x0 + 1, 0, W - 1)
+    ymin_t = jnp.clip(y0, 0, H_full - 1)
+    ymax_t = jnp.clip(y0 + 1, 0, H_full - 1)
+
+    def per_tile(a, op):
+        return op(a.reshape(n_th, TILE_H, n_tw, TILE_W), axis=(1, 3))
+
+    ymin_blk = (jnp.clip(per_tile(ymin_t, jnp.min), 0, H_full - S)
+                // TILE_H) * TILE_H
+    xmin_blk = (jnp.clip(per_tile(xmin_t, jnp.min), 0, W - 3 * TILE_W)
+                // TILE_W) * TILE_W
+    ok_y = jnp.all(per_tile(ymax_t, jnp.max) - ymin_blk <= S - 1)
+    ok_x = jnp.all(per_tile(xmax_t, jnp.max) - xmin_blk <= 3 * TILE_W - 1)
+    return ymin_blk, xmin_blk, ok_y & ok_x
+
+
+def _srcfull_xla(img_full, flow_adj):
+    """Exact fallback: sample the full planar source at global coords.
+
+    img_full: [C, H_full, W] f32; flow_adj: [H_out, W, 2] with the row
+    offset folded into y. Returns [C, H_out, W] f32."""
+    C, H_full, W = img_full.shape
+    H_out = flow_adj.shape[0]
+    feat = img_full.transpose(1, 2, 0).reshape(1, H_full, W, C)
+    x = (jax.lax.broadcasted_iota(jnp.float32, (H_out, W), 1)
+         + flow_adj[..., 0])[None]
+    y = (jax.lax.broadcasted_iota(jnp.float32, (H_out, W), 0)
+         + flow_adj[..., 1])[None]
+    out = warp_xla._sample_xy(feat, x, y)
+    return out.reshape(H_out, W, C).transpose(2, 0, 1)
+
+
+def planar_warp_pair_srcfull(img0_full, img1_full, flow0, flow1, row0,
+                             impl: str = "auto",
+                             interpret: Optional[bool] = None):
+    """Warp pair with full planar sources and slab-local output rows.
+
+    img*_full: [C, H_full, W] f32 (the all-gathered source planes);
+    flow*: [1, H_out, W, 2] flows FOR the slab's rows; row0: traced
+    int32 global row index of slab row 0. Returns two [C, H_out, W]
+    f32 planar arrays. One exactness cond over both warps; falls back
+    to the XLA gather on the full source (still exact for any flow).
+    """
+    C, H_full, W = img0_full.shape
+    H_out = flow0.shape[1]
+    kernel, interp = resolve_warp_impl(impl, C)
+    if interpret is not None:
+        interp = interpret
+    off = jnp.zeros((1, 1, 2), jnp.float32).at[0, 0, 1].set(1.0) * \
+        row0.astype(jnp.float32)
+    f0 = flow0[0].astype(jnp.float32) + off
+    f1 = flow1[0].astype(jnp.float32) + off
+    S = 64
+    eligible = (
+        kernel not in ("xla", "nhwc")
+        and H_out % TILE_H == 0 and W % TILE_W == 0
+        and W >= 3 * TILE_W and H_full >= S
+    )
+    if not eligible:
+        return _srcfull_xla(img0_full, f0), _srcfull_xla(img1_full, f1)
+    ymin0, xmin0, ok0 = _slab_extents_srcfull(f0, W, S, H_full)
+    ymin1, xmin1, ok1 = _slab_extents_srcfull(f1, W, S, H_full)
+    ok = ok0 & ok1
+    inner = _inner_for(kernel)
+    fp0 = f0.transpose(2, 0, 1)  # planar [2, H_out, W]
+    fp1 = f1.transpose(2, 0, 1)
+
+    def fast(args):
+        i0, i1, fp0, fp1, y0b, x0b, y1b, x1b = args
+
+        def one(img, fp, yb, xb):
+            return _pallas_path(
+                img, fp, yb.reshape(-1), xb.reshape(-1),
+                H=H_full, W=W, C=C, S=S, B=1, dtype=jnp.float32,
+                interpret=interp, inner=inner, BH_out=H_out,
+            )
+
+        return one(i0, fp0, y0b, x0b), one(i1, fp1, y1b, x1b)
+
+    def slow(args):
+        i0, i1, fp0, fp1, *_ = args
+        back = lambda fp: fp.transpose(1, 2, 0)
+        return (_srcfull_xla(i0, back(fp0)), _srcfull_xla(i1, back(fp1)))
+
+    if kernel.endswith("unchecked"):
+        return fast((img0_full, img1_full, fp0, fp1,
+                     ymin0, xmin0, ymin1, xmin1))
+    return jax.lax.cond(
+        ok, fast, slow,
+        (img0_full, img1_full, fp0, fp1, ymin0, xmin0, ymin1, xmin1),
+    )
 
 
 # ----------------------------------------------------------------------

@@ -1,9 +1,13 @@
-"""A/B the span-loop (v2) tile-slab warp kernel vs v1 on device.
+"""A/B the tile-slab warp kernel inner-loop variants on device.
 
-v2 replaces the static (q-block, sublane-offset) scan (~16-24
+v2 replaces v1's static (q-block, sublane-offset) scan (~16-24
 iterations/ch of 3 rolls + 6 gathers) with a dynamic-trip-count loop
 over the tile's actual row spread (~2-4 iterations/ch of 1 whole-slab
-roll + 6 gathers) — see ops/warp_pallas.py::_kernel_v2.
+roll + 6 gathers) — see ops/warp_pallas.py::_kernel_v2. v3 (round 4)
+keeps the span loop but loads a 16-row window per span row instead of
+rolling the whole (S, 384) slab, and folds the row-match masks + tap
+weights once per row outside the channel loop (_kernel_v3) — about
+half the VPU work of v2.
 
 Sections:
   1. standalone: scan-chained warp at 4K C=3, smooth flow of varied
@@ -47,6 +51,8 @@ for mag in (4.0, 12.0):
         ("v1 unchecked", dict(inner="scan", unchecked=True)),
         ("v2 checked  ", dict(inner="span")),
         ("v2 unchecked", dict(inner="span", unchecked=True)),
+        ("v3 checked  ", dict(inner="win")),
+        ("v3 unchecked", dict(inner="win", unchecked=True)),
     ):
         def chained(im, fl, kw=kw):
             def body(x, _):
@@ -68,15 +74,17 @@ for mag in (4.0, 12.0):
 flow = jax.jit(smooth_flow, static_argnums=1)(k2, 6.0)
 
 
-def check(im, fl):
-    a = flow_warp_tiled(im, fl, inner="span")
+def check(im, fl, inner):
+    a = flow_warp_tiled(im, fl, inner=inner)
     b = warp_xla.flow_warp(im, fl)
     d = jnp.abs(a - b)
     return jnp.max(d), jnp.mean(d)
 
 
-mx, mn = jax.jit(check)(img, flow)
-print(f"v2 vs XLA @4K: max={float(mx):.3e} mean={float(mn):.3e}", flush=True)
+for inner, tag in (("span", "v2"), ("win", "v3")):
+    mx, mn = jax.jit(check, static_argnums=2)(img, flow, inner)
+    print(f"{tag} vs XLA @4K: max={float(mx):.3e} mean={float(mn):.3e}",
+          flush=True)
 
 # --- 3. model level, lite 4K ---
 base_cfg = get_config("lite", dtype=jnp.bfloat16)
@@ -95,7 +103,7 @@ gen = jax.jit(lambda k1, k2: (
 ))
 x0, x1 = gen(k1, k2)
 MITERS = 4
-for impl in ("tiled", "tiled_v2"):
+for impl in ("tiled_v2", "tiled_v3"):
     net = Network(dataclasses.replace(base_cfg, warp_impl=impl))
 
     def chained(v, a, b):

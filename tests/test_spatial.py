@@ -1,0 +1,125 @@
+"""shard_map serving schedules (parallel/spatial.py): equality vs the
+single-device forward on the virtual 8-CPU mesh.
+
+These guard the DECOMPOSITION — slab geometry, boundary shifting,
+source-offset warps, gathers, crop bookkeeping — which is
+implementation-independent; the Mosaic compile path of the kernels
+inside shard_map is validated on device (scripts/tpu_spatial_check.py).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from atmvfi_tpu.models import Network, get_config
+from atmvfi_tpu.parallel import make_mesh
+from atmvfi_tpu.parallel.spatial import (
+    make_dp_forward,
+    make_spatial_forward,
+    spatial_ici_bytes,
+)
+
+
+def _build(H, W, cfg):
+    net = Network(cfg)
+    rng = np.random.default_rng(0)
+    im0 = jnp.asarray(rng.random((1, H, W, 3), np.float32))
+    im1 = jnp.asarray(rng.random((1, H, W, 3), np.float32))
+    variables = net.init(jax.random.PRNGKey(0), im0, im1)
+    return net, variables, im0, im1
+
+
+@pytest.mark.parametrize("global_motion", [True, False])
+def test_spatial_forward_matches_single_device(global_motion):
+    """2-shard spatial serving == single-device forward.
+
+    H=320, margin=64: shard 1's slab is boundary-shifted (crop 128),
+    so the interior-erosion + shifted-edge geometry are both active.
+    XLA op impls (CPU default) — the decomposition under test is
+    impl-independent."""
+    cfg = get_config("lite")
+    H, W = 320, 384
+    net, variables, im0, im1 = _build(H, W, cfg)
+    ref = net.apply(variables, im0, im1, global_motion=global_motion)[
+        "I_t"
+    ]
+
+    mesh = make_mesh((1, 2), jax.devices()[:2])
+    fwd = make_spatial_forward(net, mesh, margin=64,
+                               global_motion=global_motion)
+    out = jax.jit(fwd)(variables, im0, im1)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_spatial_forward_kernel_route_single_shard():
+    """Degenerate 1-shard spatial path with the Pallas routes forced
+    (interpret mode on CPU): exercises serving_head/serving_tail
+    through the planar/HCW kernel code, equality vs __call__."""
+    cfg = dataclasses.replace(
+        get_config("lite"), conv_impl="pallas", warp_impl="tiled_v3",
+        tail_planar="on",
+    )
+    H, W = 128, 384
+    net, variables, im0, im1 = _build(H, W, cfg)
+    ref = net.apply(variables, im0, im1, global_motion=True)["I_t"]
+
+    mesh = make_mesh((1, 1), jax.devices()[:1])
+    fwd = make_spatial_forward(net, mesh, margin=16)
+    out = jax.jit(fwd)(variables, im0, im1)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_spatial_forward_4shard_compose():
+    """4-shard + fast profile (compose_full_res_warps): the unwarped-
+    planes slab branch of serving_tail."""
+    cfg = dataclasses.replace(get_config("lite"),
+                              compose_full_res_warps=True)
+    H, W = 640, 384
+    net, variables, im0, im1 = _build(H, W, cfg)
+    ref = net.apply(variables, im0, im1, global_motion=True)["I_t"]
+
+    mesh = make_mesh((1, 4), jax.devices()[:4])
+    fwd = make_spatial_forward(net, mesh, margin=64)
+    out = jax.jit(fwd)(variables, im0, im1)
+    # compose mode folds the (large) global flow into the decoder
+    # flows in f32; slab-shaped subgraphs reorder those f32 sums, so
+    # ~0.1% of pixels differ at the few-1e-5 level (vs 2e-5 elsewhere)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_dp_forward_matches_single_device():
+    """4-way batch sharding: per-shard full model, zero collectives."""
+    cfg = get_config("lite")
+    H, W = 64, 128
+    net = Network(cfg)
+    rng = np.random.default_rng(1)
+    im0 = jnp.asarray(rng.random((4, H, W, 3), np.float32))
+    im1 = jnp.asarray(rng.random((4, H, W, 3), np.float32))
+    variables = net.init(jax.random.PRNGKey(0), im0[:1], im1[:1])
+    ref = jnp.clip(
+        net.apply(variables, im0, im1, global_motion=True)["I_t"], 0, 1
+    )
+
+    mesh = make_mesh((4, 1), jax.devices()[:4])
+    fwd = make_dp_forward(net, mesh)
+    out = jax.jit(fwd)(variables, im0, im1)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_spatial_ici_bytes():
+    # 4 plane gathers of (n-1)/n each
+    assert spatial_ici_bytes(2176, 3840, 4) == int(
+        4 * 3 * 2176 * 3840 * 4 * 3 / 4
+    )
+    assert spatial_ici_bytes(2176, 3840, 1) == 0

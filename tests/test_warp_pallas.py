@@ -76,6 +76,75 @@ def test_tiled_v2_fallback_on_rough_flow():
     "name,B,H,W,C,mag",
     [
         ("smooth", 1, 64, 384, 3, 4.0),
+        ("edges", 1, 64, 384, 3, 30.0),  # taps off-image + negative t
+        ("batch", 2, 64, 384, 2, 3.0),   # cross-image rows in B*H space
+        ("big", 1, 128, 512, 3, 9.0),
+        ("rough", 1, 128, 384, 3, 55.0),  # spans near the slab edge
+    ],
+)
+def test_tiled_v3_matches_xla(name, B, H, W, C, mag):
+    """Windowed span-loop (v3, the 'auto' kernel): 16-row dynamic
+    window loads + per-row weight folding. Bit-compatible with
+    ops.warp semantics (device-measured max|d| = 0.0 at 4K)."""
+    rng = np.random.default_rng(4)
+    feat = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
+    flow = _smooth_flow(B, H, W, mag, seed=hash(name) % 100)
+    got = flow_warp_tiled(feat, flow, slab_rows=64, interpret=True,
+                          inner="win")
+    want = warp_xla.flow_warp(feat, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_planar_pair_srcfull_matches_sliced_full_warp():
+    """Source-offset warp pair (spatial sharding): slab rows against
+    the corresponding rows of a full-frame warp, kernel + XLA impls,
+    interior and boundary slabs, plus the huge-flow cond fallback."""
+    from atmvfi_tpu.ops.warp_pallas import (
+        nhwc_to_planar,
+        planar_warp_pair_srcfull,
+    )
+
+    rng = np.random.default_rng(5)
+    H, W, C = 128, 384, 3
+    img0 = jnp.asarray(rng.random((1, H, W, C)), jnp.float32)
+    img1 = jnp.asarray(rng.random((1, H, W, C)), jnp.float32)
+    fl0 = jnp.asarray((rng.random((1, H, W, 2)) - 0.5) * 30, jnp.float32)
+    fl1 = jnp.asarray((rng.random((1, H, W, 2)) - 0.5) * 30, jnp.float32)
+    ref0 = warp_xla.flow_warp(img0, fl0)
+    ref1 = warp_xla.flow_warp(img1, fl1)
+    p0, p1 = nhwc_to_planar(img0), nhwc_to_planar(img1)
+    for r0 in (0, 32, 64):
+        for impl in ("tiled_v3", "xla"):
+            o0, o1 = jax.jit(
+                lambda a, b, c, d, r, impl=impl:
+                planar_warp_pair_srcfull(a, b, c, d, r, impl=impl)
+            )(p0, p1, fl0[:, r0:r0 + 64], fl1[:, r0:r0 + 64],
+              jnp.int32(r0))
+            np.testing.assert_allclose(
+                np.asarray(o0),
+                np.asarray(nhwc_to_planar(ref0[:, r0:r0 + 64])),
+                atol=2e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(o1),
+                np.asarray(nhwc_to_planar(ref1[:, r0:r0 + 64])),
+                atol=2e-5,
+            )
+    # flows beyond the slab budget -> cond fallback, still exact
+    big0 = fl0 * 10
+    o0, _ = jax.jit(
+        lambda a, b, c, d, r: planar_warp_pair_srcfull(
+            a, b, c, d, r, impl="tiled_v3")
+    )(p0, p1, big0[:, 32:96], big0[:, 32:96], jnp.int32(32))
+    want = nhwc_to_planar(warp_xla.flow_warp(img0, big0)[:, 32:96])
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(want),
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "name,B,H,W,C,mag",
+    [
+        ("smooth", 1, 64, 384, 3, 4.0),
         ("edges", 1, 64, 384, 3, 30.0),  # pushes taps off-image
         ("batch", 2, 64, 384, 2, 3.0),
         ("c1", 1, 64, 512, 1, 5.0),      # flow-like single channel
@@ -125,9 +194,11 @@ def test_resolver():
     assert resolve_warp_impl("tiled_nhwc", 3)[0] == "nhwc"
     assert resolve_warp_impl("tiled_v2", 3)[0] == "chw_v2"
     assert resolve_warp_impl("tiled_v2_unchecked", 3)[0] == "chw_v2_unchecked"
+    assert resolve_warp_impl("tiled_v3", 3)[0] == "chw_v3"
+    assert resolve_warp_impl("tiled_v3_unchecked", 3)[0] == "chw_v3_unchecked"
     auto_kernel, _ = resolve_warp_impl("auto", 3)
     on_tpu = jax.default_backend() == "tpu"
-    assert auto_kernel == ("chw" if on_tpu else "xla")
+    assert auto_kernel == ("chw_v3" if on_tpu else "xla")
     wide_kernel, _ = resolve_warp_impl("auto", 24)
     assert wide_kernel == "xla"  # per-tile pixel span too narrow
 
