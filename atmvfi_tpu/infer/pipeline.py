@@ -29,20 +29,25 @@ class InterpolationPipeline:
     """Stateful wrapper: model variant + weights -> frame interpolator.
 
     Multi-chip serving: pass `mesh` (an ('data', 'spatial') mesh from
-    atmvfi_tpu.parallel.make_mesh) to shard activations over the
-    'spatial' (height) axis — the counted roofline (PERF_NOTES round 3)
-    caps exact lite at ~20 fps/chip at 4K, so the 4K >=30 fps target is
-    a >=2-chip configuration by physics. XLA SPMD inserts the conv halo
-    exchanges and warp-gather collectives; weights are replicated. The
-    Pallas kernels are single-chip custom calls GSPMD cannot partition
-    (parallel/mesh.py note), so a spatial mesh forces the XLA op
-    implementations automatically.
+    atmvfi_tpu.parallel.make_mesh) — the counted roofline (PERF_NOTES
+    round 3) caps exact lite at ~17 fps/chip at 4K, so the 4K >=30 fps
+    target is a multi-chip configuration by physics. Two schedules via
+    `spmd`:
+
+      * "spatial" (default): manual-SPMD shard_map serving
+        (parallel/spatial.py) — per-shard slabs KEEP every Pallas
+        kernel; warps sample all-gathered full frames. B == 1,
+        no ensemble mode.
+      * "gspmd": the automatic-partitioner path. GSPMD cannot
+        partition custom calls, so this forces the XLA op
+        implementations (warp/conv/attention "xla", tail off) —
+        2-3x slower per chip, but supports every model mode.
     """
 
     def __init__(self, variables, variant: str = "base", dtype=jnp.bfloat16,
                  global_motion: bool = True, ensemble_global_motion: bool = False,
                  pad_divisor: int = 64, donate: bool = True,
-                 fast: bool = False, mesh=None):
+                 fast: bool = False, mesh=None, spmd: str = "spatial"):
         self.cfg = get_config(variant, dtype=dtype)
         if fast:
             # serving profile: unchecked slab warps + composed full-res
@@ -50,7 +55,9 @@ class InterpolationPipeline:
             self.cfg = self.cfg.fast()
         self.mesh = mesh
         self._sharding = None
-        if mesh is not None and mesh.devices.size > 1:
+        self._spatial_fwd = None
+        multi = mesh is not None and mesh.devices.size > 1
+        if multi:
             from atmvfi_tpu.parallel import (
                 SPATIAL_AXIS, replicated, spatial_sharding,
             )
@@ -60,12 +67,18 @@ class InterpolationPipeline:
                 f"pad_divisor {pad_divisor} must be a multiple of the "
                 f"spatial mesh extent {n_sp} so padded heights shard evenly"
             )
-            # GSPMD cannot partition custom calls: keep everything on
-            # XLA ops under a multi-device mesh
-            self.cfg = dataclasses.replace(
-                self.cfg, warp_impl="xla", conv_impl="xla",
-                attention_impl="xla", tail_planar="off",
-            )
+            if spmd == "gspmd":
+                # GSPMD cannot partition custom calls: keep everything
+                # on XLA ops under the automatic partitioner
+                self.cfg = dataclasses.replace(
+                    self.cfg, warp_impl="xla", conv_impl="xla",
+                    attention_impl="xla", tail_planar="off",
+                )
+            else:
+                assert spmd == "spatial", f"unknown spmd mode {spmd!r}"
+                assert not ensemble_global_motion, (
+                    "ensemble mode is gspmd/single-chip only"
+                )
             variables = jax.device_put(variables, replicated(mesh))
             self._sharding = spatial_sharding(mesh)
         self.net = Network(self.cfg)
@@ -73,6 +86,12 @@ class InterpolationPipeline:
         self.global_motion = global_motion
         self.ensemble = ensemble_global_motion
         self.pad_divisor = pad_divisor
+        if multi and spmd == "spatial":
+            from atmvfi_tpu.parallel.spatial import make_spatial_forward
+
+            self._spatial_fwd = jax.jit(make_spatial_forward(
+                self.net, mesh, global_motion=global_motion,
+            ))
         self._fwd = jax.jit(
             self._forward,
             static_argnames=("global_motion", "ensemble_global_motion"),
@@ -96,6 +115,12 @@ class InterpolationPipeline:
         """
         self.cfg = self.cfg.with_windows(local, global_, enhance)
         self.net = Network(self.cfg)
+        if self._spatial_fwd is not None:
+            from atmvfi_tpu.parallel.spatial import make_spatial_forward
+
+            self._spatial_fwd = jax.jit(make_spatial_forward(
+                self.net, self.mesh, global_motion=self.global_motion,
+            ))
         self._fwd = jax.jit(
             self._forward,
             static_argnames=("global_motion", "ensemble_global_motion"),
@@ -108,6 +133,9 @@ class InterpolationPipeline:
             # H-shard the activations; a no-op when already placed
             im0 = jax.device_put(im0, self._sharding)
             im1 = jax.device_put(im1, self._sharding)
+        if self._spatial_fwd is not None:
+            assert im0.shape[0] == 1, "spatial shard_map serving is B == 1"
+            return self._spatial_fwd(self.variables, im0, im1)
         return self._fwd(
             self.variables, im0, im1,
             global_motion=self.global_motion,

@@ -253,23 +253,49 @@ class PReLU(nn.Module):
         return prelu(x, alpha)
 
 
+class _DWConvParams(nn.Module):
+    """Param holder with nn.Conv's exact tree ({kernel, bias}, kernel
+    [3, 3, 1, dim]) so checkpoints/converters are unaffected by the
+    compute reformulation below."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", msra_conv_init(9), (3, 3, 1, self.dim))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return k, b
+
+
 class DWConv(nn.Module):
-    """3x3 depthwise conv inside the transformer MLP (attention.py:74-85)."""
+    """3x3 depthwise conv inside the transformer MLP (attention.py:74-85).
+
+    Computed as 9 shifted multiply-adds instead of a grouped
+    `lax.conv`: TPU lowers depthwise convolutions into degenerate
+    1-input-channel MXU passes — the round-4 lite-4K trace put the
+    model's 6 MLP depthwise convs inside the 48 ms flax-conv bucket.
+    The shifted-add form is pure VPU elementwise work that XLA fuses
+    with the surrounding GELU/dense ops. Padding='zeros' semantics and
+    the nn.Conv param tree are preserved exactly.
+    """
 
     dim: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C]
-        return nn.Conv(
-            self.dim,
-            (3, 3),
-            padding=[(1, 1), (1, 1)],
-            feature_group_count=self.dim,
-            kernel_init=msra_conv_init(9),  # fan_out//groups == 9
-            dtype=self.dtype,
-            name="dwconv",
-        )(x)
+        k, b = _DWConvParams(self.dim, name="dwconv")()
+        dt = self.dtype
+        xv = x.astype(dt)
+        kv = k.astype(dt)
+        B, H, W, C = x.shape
+        xp = jnp.pad(xv, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                t = xp[:, dy : dy + H, dx : dx + W, :] * kv[dy, dx, 0]
+                acc = t if acc is None else acc + t
+        return acc + b.astype(dt)
 
 
 class Mlp(nn.Module):
@@ -291,12 +317,22 @@ class Mlp(nn.Module):
         return x
 
 
-def attention_probs(q, k, scale, mask: Optional[jnp.ndarray]):
-    """Masked softmax attention probabilities in f32.
+def attention_probs(q, k, scale, mask: Optional[jnp.ndarray],
+                    out_dtype: Optional[jnp.dtype] = None):
+    """Masked softmax attention probabilities (f32 compute).
 
     q, k: [B, heads, N, hd]; mask: [nW, N, N] additive or None. Batch is
     ordered (img, window) flattened, matching window_partition, so the
     mask broadcast reproduces attention.py:194-198.
+
+    out_dtype: storage dtype of the returned probabilities (logits/
+    softmax math always runs f32). MEASURED NEGATIVE (v5e 2026-08-20):
+    casting the result to bf16 moved lite-4K 373.5 -> 375.0 ms/frame
+    and base-1080p 148.4 -> 149.7 — i.e. the round-3 trace's 36.9 ms
+    "softmax materialization" bucket is exp/reduce COMPUTE (VPU), not
+    HBM bandwidth, so halving the stored bytes buys nothing and adds a
+    convert. Callers therefore pass None (f32 probabilities, as
+    before); the parameter stays for future A/Bs.
     """
     attn = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -306,7 +342,8 @@ def attention_probs(q, k, scale, mask: Optional[jnp.ndarray]):
         h = attn.shape[1]
         attn = attn.reshape(-1, nW, h, N, N) + mask[None, :, None]
         attn = attn.reshape(-1, h, N, N)
-    return jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+    p = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+    return p if out_dtype is None else p.astype(out_dtype)
 
 
 class AttentionToMotion(nn.Module):

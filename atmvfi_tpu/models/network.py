@@ -969,11 +969,21 @@ class Network(nn.Module):
 
         # blend-warp sources must be the PRE-ALIGNED full images: crop
         # each shard's true rows and all-gather (the decoder's local
-        # flows are unbounded, so a halo cannot carry this exactly)
-        p0_loc = jax.lax.dynamic_slice_in_dim(p0, crop_off, h_loc, 1)
-        p1_loc = jax.lax.dynamic_slice_in_dim(p1, crop_off, h_loc, 1)
-        p0_full = jax.lax.all_gather(p0_loc, axis_name, axis=1, tiled=True)
-        p1_full = jax.lax.all_gather(p1_loc, axis_name, axis=1, tiled=True)
+        # flows are unbounded, so a halo cannot carry this exactly).
+        # axis_name=None (single-chip slab simulation, used by the
+        # device timing script): skip the gather and warp within the
+        # slab — same compute, sources clamped at slab edges.
+        if axis_name is None:
+            p0_full, p1_full = p0, p1
+            blend_row0 = jnp.zeros((), jnp.int32)
+        else:
+            p0_loc = jax.lax.dynamic_slice_in_dim(p0, crop_off, h_loc, 1)
+            p1_loc = jax.lax.dynamic_slice_in_dim(p1, crop_off, h_loc, 1)
+            p0_full = jax.lax.all_gather(p0_loc, axis_name, axis=1,
+                                         tiled=True)
+            p1_full = jax.lax.all_gather(p1_loc, axis_name, axis=1,
+                                         tiled=True)
+            blend_row0 = slab_row0
 
         res = self._decoder_stage(self.upsample2, feat_slab,
                                   want_hcw=True)
@@ -981,8 +991,8 @@ class Network(nn.Module):
             # HCW route refused this slab shape: NHWC fallback tail
             return self._serving_tail_nhwc(
                 res, skips_slab, p0_full, p1_full, im0_pl, im1_pl,
-                gf0_slab, gf1_slab, slab_row0, crop_off, h_loc,
-                compose,
+                gf0_slab, gf1_slab, slab_row0, blend_row0, crop_off,
+                h_loc, compose,
             )
         feat_hcw, w_out = res
         BH_s, _, Wp = feat_hcw.shape
@@ -995,7 +1005,7 @@ class Network(nn.Module):
             flow1 = flow1 + gf1_slab
         occ_pl = jax.nn.sigmoid(m[:, 4])  # [Hs, w]
         w0p, w1p = planar_warp_pair_srcfull(
-            p0_full, p1_full, flow0, flow1, slab_row0, impl=c.warp_impl
+            p0_full, p1_full, flow0, flow1, blend_row0, impl=c.warp_impl
         )
         I_tp = occ_pl[None] * w0p + (1.0 - occ_pl[None]) * w1p
 
@@ -1015,7 +1025,8 @@ class Network(nn.Module):
 
     def _serving_tail_nhwc(self, feat, skips_slab, p0_full, p1_full,
                            im0_pl, im1_pl, gf0_slab, gf1_slab,
-                           slab_row0, crop_off, h_loc, compose):
+                           slab_row0, blend_row0, crop_off, h_loc,
+                           compose):
         """NHWC fallback tail (slab shapes the HCW route refused):
         decoder stage already ran; warps sample the full pre-aligned
         sources via the source-offset XLA path."""
@@ -1035,7 +1046,7 @@ class Network(nn.Module):
         occ1 = jax.nn.sigmoid(out_f[..., 4:5])
         off = jnp.zeros((1, 1, 2), jnp.float32).at[0, 0, 1].set(
             1.0
-        ) * slab_row0.astype(jnp.float32)
+        ) * blend_row0.astype(jnp.float32)
         w0 = planar_to_nhwc(_srcfull_xla(p0_full, flow0[0] + off), 1)
         w1 = planar_to_nhwc(_srcfull_xla(p1_full, flow1[0] + off), 1)
         I_t = occ1 * w0 + (1.0 - occ1) * w1

@@ -30,12 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 def resolve_attention_impl(impl: str) -> Tuple[bool, bool]:
     """-> (use_pallas, interpret).
 
-    'auto' currently selects the XLA path: measured on v5e, the fused
-    kernel is 1.6x faster standalone at N=144 (global window) but the
-    q/k/v layout transitions at the model level erase the win for the
-    N=64 local windows (254 vs 237 ms at 1080p). Force 'pallas' to use
-    the kernel; revisit 'auto' once the projections emit kernel-native
-    [BW, h, N, d] blocks directly.
+    'auto' selects the XLA path. Two device A/Bs stand behind this:
+    round 2 measured the generic fused kernel losing at model level to
+    q/k/v layout transitions (254 vs 237 ms at 1080p); round 4
+    re-measured the PACKED layout-native kernel in-model
+    (scripts/tpu_attn_ab.py --quick, v5e 2026-08-20) and it still
+    loses — lite 4K 378.5 vs 373.5 ms/frame, base 1080p 159.7 vs
+    148.4 — the per-head [N, hd] sub-slices inside the kernel beat the
+    XLA path's batched [B*h] matmuls' MXU utilization. The softmax
+    HBM-materialization cost the kernel was built to remove is instead
+    addressed by storing the probabilities in the compute dtype
+    (layers.py::attention_probs out_dtype — halves the bytes under
+    bf16). Force 'pallas' to use the packed kernel (exact, tested).
     """
     if impl == "pallas":
         return True, jax.default_backend() != "tpu"
