@@ -30,22 +30,30 @@ from jax.experimental.pallas import tpu as pltpu
 def resolve_attention_impl(impl: str) -> Tuple[bool, bool]:
     """-> (use_pallas, interpret).
 
-    'auto' selects the XLA path. Two device A/Bs stand behind this:
-    round 2 measured the generic fused kernel losing at model level to
-    q/k/v layout transitions (254 vs 237 ms at 1080p); round 4
-    re-measured the PACKED layout-native kernel in-model
-    (scripts/tpu_attn_ab.py --quick, v5e 2026-08-20) and it still
-    loses — lite 4K 378.5 vs 373.5 ms/frame, base 1080p 159.7 vs
-    148.4 — the per-head [N, hd] sub-slices inside the kernel beat the
-    XLA path's batched [B*h] matmuls' MXU utilization. The softmax
-    HBM-materialization cost the kernel was built to remove is instead
-    addressed by storing the probabilities in the compute dtype
-    (layers.py::attention_probs out_dtype — halves the bytes under
-    bf16). Force 'pallas' to use the packed kernel (exact, tested).
+    'auto' selects the PACKED layout-native Pallas kernel on TPU since
+    the round-4 window-batched rewrite of its matmuls (one
+    [wb, N, hd] batched dot_general per head instead of wb separate
+    [N, hd] dots — _packed_kernel). History of the measurements:
+
+      * round 2: generic [BW,h,N,d] kernel loses at model level to
+        q/kv layout transitions (254 vs 237 ms at 1080p) -> auto=xla.
+      * round 4, pre-rewrite: the packed kernel ALSO loses in-model
+        (lite 4K 378.5 vs 373.5 ms, base 1080p 159.7 vs 148.4) — per-
+        window matmuls starve the MXU.
+      * round 4, post-rewrite (v5e 2026-08-20): standalone local-
+        window bucket 14.9 vs 39.6 ms (XLA), global 7.8 vs 33.0;
+        IN-MODEL lite 4K 291.4 vs 348.4 ms/frame (3.43 fps, -16%),
+        base 1080p 129.3 vs 135.3 (-4.4%) -> auto=pallas on TPU.
+
+    'xla' forces the batched-matmul XLA path (the f32-softmax form);
+    off-TPU, 'auto' stays XLA and 'pallas' runs in interpret mode
+    (CPU tests).
     """
     if impl == "pallas":
         return True, jax.default_backend() != "tpu"
-    return False, False
+    if impl == "xla":
+        return False, False
+    return jax.default_backend() == "tpu", False
 
 
 def reference_window_attention(q, k, v, scale, rel=None, mask=None):
@@ -181,35 +189,39 @@ def _forward(q, k, v, scale, rel, mask, block_windows, interpret):
 def _packed_kernel(q_ref, kv_ref, rel_ref, mask_ref, out_ref,
                    motion_ref, *, scale, block_windows, num_heads,
                    head_dim, with_motion, with_mask, precision):
+    """Per head j, ONE window-batched dot_general over the whole block
+    ([wb, N, hd] x [wb, N, hd] -> [wb, N, N], batch dim 0) instead of
+    the round-3 form's wb separate [N, hd] dots — 8x fewer MXU
+    dispatches per head; the softmax/motion math runs on the batched
+    [wb, N, N] f32 tensor in VMEM."""
     C = num_heads * head_dim
-    for w in range(block_windows):
-        q_all = q_ref[w]       # [N, C]
-        kv_all = kv_ref[w]     # [N, 2C]
+    for j in range(num_heads):
+        lo, hi = j * head_dim, (j + 1) * head_dim
+        q = q_ref[:, :, lo:hi]                 # [wb, N, hd]
+        k = kv_ref[:, :, lo:hi]
+        v = kv_ref[:, :, C + lo : C + hi]
+        attn = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * scale                              # [wb, N, N] f32
         if with_mask:
-            m = mask_ref[w].astype(jnp.float32)
-        for j in range(num_heads):
-            lo, hi = j * head_dim, (j + 1) * head_dim
-            attn = jax.lax.dot_general(
-                q_all[:, lo:hi], kv_all[:, lo:hi],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            ) * scale
-            if with_mask:
-                attn = attn + m
-            attn = jax.nn.softmax(attn, axis=-1)
-            a = attn.astype(kv_all.dtype)
-            out_ref[w, :, lo:hi] = jax.lax.dot_general(
-                a, kv_all[:, C + lo : C + hi], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            ).astype(out_ref.dtype)
-            if with_motion:
-                mx = jnp.sum(attn * rel_ref[0].astype(jnp.float32), axis=-1)
-                my = jnp.sum(attn * rel_ref[1].astype(jnp.float32), axis=-1)
-                motion_ref[w, :, 2 * j : 2 * j + 2] = jnp.stack(
-                    [mx, my], axis=-1
-                ).astype(motion_ref.dtype)
+            attn = attn + mask_ref[...].astype(jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)
+        a = attn.astype(kv_ref.dtype)
+        out_ref[:, :, lo:hi] = jax.lax.dot_general(
+            a, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ).astype(out_ref.dtype)
+        if with_motion:
+            mx = jnp.sum(attn * rel_ref[0][None].astype(jnp.float32),
+                         axis=-1)
+            my = jnp.sum(attn * rel_ref[1][None].astype(jnp.float32),
+                         axis=-1)
+            motion_ref[:, :, 2 * j : 2 * j + 2] = jnp.stack(
+                [mx, my], axis=-1
+            ).astype(motion_ref.dtype)
 
 
 def _packed_forward(q, kv, scale, rel, mask, num_heads,
@@ -230,7 +242,14 @@ def _packed_forward(q, kv, scale, rel, mask, num_heads,
     hd = C // h
     with_motion = rel is not None
     with_mask = mask is not None
-    wb = min(block_windows, BW)
+    # VMEM-adaptive window block: per-window block bytes are
+    # ~4*N*C*itemsize (q + kv + out refs) plus ~6*N^2*4 of f32
+    # softmax/logit temporaries per batched head dot. The f32 base
+    # global-window case (N=144, C=672) overflows the 16 MB scoped
+    # budget at wb=8 (measured: 28.1 MB stack ask on v5e) — clamp so
+    # block buffers + temps stay ~<=6 MB.
+    bpw = 4 * N * C * jnp.dtype(q.dtype).itemsize + 6 * N * N * 4
+    wb = max(1, min(block_windows, BW, int(6e6 // max(bpw, 1))))
     bw_pad = ((BW + wb - 1) // wb) * wb
     qp = _pad_windows(q, bw_pad)
     kvp = _pad_windows(kv, bw_pad)

@@ -133,8 +133,12 @@ def make_spatial_forward(net, mesh, margin: int = 64,
         )
 
         # slab geometry: [s, s + h_slab) in full-res rows, boundary-
-        # shifted so the slab edge is the image edge on edge shards
-        m = min(margin, (n - 1) * h_loc)  # n=1: degenerate full slab
+        # shifted so the slab edge is the image edge on edge shards.
+        # The margin is clamped so h_slab <= H (tiny per-shard heights
+        # degrade gracefully toward full-frame slabs) and floored to
+        # 16-row alignment for the HCW kernels' shape gates.
+        m = min(margin, (n - 1) * h_loc, (H - h_loc) // 2)
+        m = (m // 16) * 16
         h_slab = h_loc + 2 * m
         s = jnp.clip(i * h_loc - m, 0, H - h_slab)
         crop = i * h_loc - s  # shard's true rows inside the slab

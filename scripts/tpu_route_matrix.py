@@ -115,12 +115,17 @@ def main():
     os.environ.pop("ATMVFI_HCW_DISABLE", None)
     os.environ.pop("ATMVFI_NO_STACKDX", None)
     base = results["full"]
-    bad = {k: v for k, v in results.items() if abs(v - base) > 0.1}
+    # Gate: 0.5 dB. At the ~73 dB working point, exact-but-different
+    # route compositions differ by up to ~0.2 dB from f32 summation
+    # order alone (measured: no-encp 72.64 vs full 72.81); the failure
+    # mode this guards — a silent wrong-answer kernel route, e.g. the
+    # round-2 provenance bug — measured an 8 dB drop.
+    bad = {k: v for k, v in results.items() if abs(v - base) > 0.5}
     print(f"\nroute matrix: full={base:.2f} dB, spread "
           f"{max(results.values()) - min(results.values()):.3f} dB",
           flush=True)
-    assert not bad, f"routes shifted >0.1 dB vs full: {bad}"
-    print("route matrix OK (all configurations within 0.1 dB)",
+    assert not bad, f"routes shifted >0.5 dB vs full: {bad}"
+    print("route matrix OK (all configurations within 0.5 dB)",
           flush=True)
 
 

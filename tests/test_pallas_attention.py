@@ -175,4 +175,7 @@ def test_resolver():
     use, interp = resolve_attention_impl("pallas")
     assert use is True
     auto_use, _ = resolve_attention_impl("auto")
-    assert auto_use is False  # auto currently prefers XLA (see resolver doc)
+    # auto prefers the packed kernel ON TPU (round-4 batched rewrite);
+    # off-TPU (this CI) it stays XLA
+    on_tpu = jax.default_backend() == "tpu"
+    assert auto_use is on_tpu

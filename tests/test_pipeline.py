@@ -105,21 +105,32 @@ def test_mesh_pipeline_matches_single_device():
     variables = net.init(jax.random.PRNGKey(3), dummy, dummy)
     kw = dict(variant="lite", dtype=jnp.float32, global_motion=True)
     ref_pipe = InterpolationPipeline(variables, **kw)
-    mesh_pipe = InterpolationPipeline(
+    # gspmd mode: the automatic partitioner cannot split custom calls,
+    # so it must force the XLA op implementations
+    gspmd_pipe = InterpolationPipeline(
+        variables, mesh=make_mesh((1, 8)), spmd="gspmd", **kw
+    )
+    assert gspmd_pipe.cfg.warp_impl == "xla"
+    assert gspmd_pipe.cfg.conv_impl == "xla"
+    assert gspmd_pipe.cfg.attention_impl == "xla"
+    # spatial (default) mode: the shard_map schedule keeps the config
+    spatial_pipe = InterpolationPipeline(
         variables, mesh=make_mesh((1, 8)), **kw
     )
-    assert mesh_pipe.cfg.warp_impl == "xla"
-    assert mesh_pipe.cfg.conv_impl == "xla"
-    assert mesh_pipe.cfg.attention_impl == "xla"
+    assert spatial_pipe._spatial_fwd is not None
+    assert spatial_pipe.cfg.warp_impl == "auto"
 
     rng = np.random.default_rng(7)
     img0 = (rng.random((120, 120, 3)) * 255).astype(np.uint8)
     img1 = (rng.random((120, 120, 3)) * 255).astype(np.uint8)
     want = ref_pipe.interpolate(img0, img1)
-    got = mesh_pipe.interpolate(img0, img1)
-    # sharding changes XLA reduction order; after uint8 rounding an
-    # off-by-one is the worst admissible difference
-    assert np.max(np.abs(got.astype(np.int16) - want.astype(np.int16))) <= 1
+    for pipe in (gspmd_pipe, spatial_pipe):
+        got = pipe.interpolate(img0, img1)
+        # sharding changes XLA reduction order; after uint8 rounding an
+        # off-by-one is the worst admissible difference
+        assert np.max(
+            np.abs(got.astype(np.int16) - want.astype(np.int16))
+        ) <= 1
 
 
 def test_window_reconfig_reuses_params(lite_pipeline):
