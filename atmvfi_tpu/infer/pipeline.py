@@ -63,9 +63,13 @@ class InterpolationPipeline:
             )
 
             n_sp = mesh.shape[SPATIAL_AXIS]
-            assert pad_divisor % n_sp == 0, (
-                f"pad_divisor {pad_divisor} must be a multiple of the "
-                f"spatial mesh extent {n_sp} so padded heights shard evenly"
+            # make_spatial_forward requires H % (8 * n_sp) == 0; check
+            # it here so invalid mesh/pad combinations fail at
+            # construction rather than on the first interpolate()
+            assert pad_divisor % (8 * n_sp) == 0, (
+                f"pad_divisor {pad_divisor} must be a multiple of "
+                f"8 * spatial mesh extent ({8 * n_sp}) so padded heights "
+                f"shard evenly in 8-row units"
             )
             if spmd == "gspmd":
                 # GSPMD cannot partition custom calls: keep everything

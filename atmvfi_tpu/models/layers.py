@@ -382,7 +382,7 @@ class AttentionToMotion(nn.Module):
         kv_p = dense(2 * C, "kv", self.qkv_bias)(x2)
 
         rel = ops.relative_coords(self.window_size)  # [2, N, N] f32
-        use_pallas, interpret = resolve_attention_impl(self.attn_impl)
+        use_pallas, interpret = resolve_attention_impl(self.attn_impl, B)
         if use_pallas:
             # layout-native kernel: per-head slicing happens in the
             # BlockSpec index maps, no [B,N,h,d] transposes
@@ -437,7 +437,7 @@ class WindowAttention(nn.Module):
             f, use_bias=bias, kernel_init=trunc_normal_init(), dtype=self.dtype, name=name
         )
         qkv_p = dense(3 * C, "qkv", self.qkv_bias)(x)
-        use_pallas, interpret = resolve_attention_impl(self.attn_impl)
+        use_pallas, interpret = resolve_attention_impl(self.attn_impl, B)
         if use_pallas:
             mask_exp = (
                 None if mask is None

@@ -886,8 +886,18 @@ class Network(nn.Module):
         for _ in range(c.pyramid_level - 1):
             im0_list.append(ops.downsample_2x(im0_list[-1]))
             im1_list.append(ops.downsample_2x(im1_list[-1]))
+        img_planes = None
+        if self._planar_tail_on(im0.shape[1], im0.shape[2]):
+            # mirror __call__: feed the planes-DMA encoder route so the
+            # replicated head doesn't run the slower encoder path
+            from atmvfi_tpu.ops.warp_pallas import nhwc_to_planar
+
+            img_planes = jnp.concatenate(
+                [nhwc_to_planar(im0), nhwc_to_planar(im1)], axis=1
+            )
         x, feat_scale_level = self.shared_feat_extraction(
-            jnp.concatenate([im0, im1], axis=0).astype(c.dtype)
+            jnp.concatenate([im0, im1], axis=0).astype(c.dtype),
+            img_planes,
         )
         feat = self.cross_scale_feature_fusion(feat_scale_level)
 
@@ -985,8 +995,14 @@ class Network(nn.Module):
                                          tiled=True)
             blend_row0 = slab_row0
 
-        res = self._decoder_stage(self.upsample2, feat_slab,
-                                  want_hcw=True)
+        # want_hcw respects the same route-control surface as the
+        # monolithic forward (cfg.tail_planar / ATMVFI_HCW_DISABLE=tail),
+        # evaluated at the slab's full-res dims
+        Hs_full = 2 * feat_slab.shape[1]
+        res = self._decoder_stage(
+            self.upsample2, feat_slab,
+            want_hcw=self._planar_tail_on(Hs_full, W),
+        )
         if not isinstance(res, tuple):
             # HCW route refused this slab shape: NHWC fallback tail
             return self._serving_tail_nhwc(

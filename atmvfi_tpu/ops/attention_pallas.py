@@ -27,13 +27,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def resolve_attention_impl(impl: str) -> Tuple[bool, bool]:
+# 'auto' window-count gate: below this many packed windows the kernel's
+# fixed dispatch + grid overhead exceeds its layout savings and XLA wins
+# (measured round 5, v5e: base 448x256 has 56 local / 12 global windows
+# and ran 124.5 fps with the kernel vs 128+ on XLA; 1080p/4K window
+# counts are >= 510 and the kernel wins there — PERF_NOTES round 5 A/B).
+AUTO_MIN_WINDOWS = 256
+
+
+def resolve_attention_impl(impl: str,
+                           n_windows: Optional[int] = None) -> Tuple[bool, bool]:
     """-> (use_pallas, interpret).
 
     'auto' selects the PACKED layout-native Pallas kernel on TPU since
     the round-4 window-batched rewrite of its matmuls (one
     [wb, N, hd] batched dot_general per head instead of wb separate
-    [N, hd] dots — _packed_kernel). History of the measurements:
+    [N, hd] dots — _packed_kernel), UNLESS the static packed window
+    count `n_windows` is below AUTO_MIN_WINDOWS (tiny problems, e.g.
+    the reference's 448x256 Vimeo protocol res, are faster on XLA).
+    History of the measurements:
 
       * round 2: generic [BW,h,N,d] kernel loses at model level to
         q/kv layout transitions (254 vs 237 ms at 1080p) -> auto=xla.
@@ -44,6 +56,8 @@ def resolve_attention_impl(impl: str) -> Tuple[bool, bool]:
         window bucket 14.9 vs 39.6 ms (XLA), global 7.8 vs 33.0;
         IN-MODEL lite 4K 291.4 vs 348.4 ms/frame (3.43 fps, -16%),
         base 1080p 129.3 vs 135.3 (-4.4%) -> auto=pallas on TPU.
+      * round 5: auto regressed 448x256 by 3% (VERDICT item 4) ->
+        the n_windows gate.
 
     'xla' forces the batched-matmul XLA path (the f32-softmax form);
     off-TPU, 'auto' stays XLA and 'pallas' runs in interpret mode
@@ -52,6 +66,8 @@ def resolve_attention_impl(impl: str) -> Tuple[bool, bool]:
     if impl == "pallas":
         return True, jax.default_backend() != "tpu"
     if impl == "xla":
+        return False, False
+    if n_windows is not None and n_windows < AUTO_MIN_WINDOWS:
         return False, False
     return jax.default_backend() == "tpu", False
 

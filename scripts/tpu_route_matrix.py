@@ -5,7 +5,9 @@ predicates) form a parity surface that CI covers only in interpret
 mode. This script runs the SAME demo-golden forward the verify flow
 uses, once per route configuration — each Pallas site disabled in
 turn, plus the fused-pair opt-in — and fails loudly if any
-configuration shifts PSNR-vs-golden by more than 0.1 dB. This is the
+configuration shifts PSNR-vs-golden by more than 0.5 dB (the gate is
+deliberately loose: bf16 route changes shift f32 summation order, see
+the justification at the gate check in main below). This is the
 standing defense for the weight-provenance Mosaic hazard
 (pack_conv3x3_weights' `k + 0*sum(k)` guard): if a toolchain update
 silently re-breaks a packed-weights site, the full-route row diverges
