@@ -36,8 +36,10 @@ class InterpolationPipeline:
 
       * "spatial" (default): manual-SPMD shard_map serving
         (parallel/spatial.py) — per-shard slabs KEEP every Pallas
-        kernel; warps sample all-gathered full frames. B == 1,
-        no ensemble mode.
+        kernel; warps sample all-gathered full frames. B == 1.
+        Ensemble mode runs on this path too (replicated multiscale
+        estimate + shallow cut — quality protocol, not the latency
+        one).
       * "gspmd": the automatic-partitioner path. GSPMD cannot
         partition custom calls, so this forces the XLA op
         implementations (warp/conv/attention "xla", tail off) —
@@ -80,9 +82,6 @@ class InterpolationPipeline:
                 )
             else:
                 assert spmd == "spatial", f"unknown spmd mode {spmd!r}"
-                assert not ensemble_global_motion, (
-                    "ensemble mode is gspmd/single-chip only"
-                )
             variables = jax.device_put(variables, replicated(mesh))
             self._sharding = spatial_sharding(mesh)
         self.net = Network(self.cfg)
@@ -95,6 +94,7 @@ class InterpolationPipeline:
 
             self._spatial_fwd = jax.jit(make_spatial_forward(
                 self.net, mesh, global_motion=global_motion,
+                ensemble_global_motion=ensemble_global_motion,
             ))
         self._fwd = jax.jit(
             self._forward,
@@ -124,6 +124,7 @@ class InterpolationPipeline:
 
             self._spatial_fwd = jax.jit(make_spatial_forward(
                 self.net, self.mesh, global_motion=self.global_motion,
+                ensemble_global_motion=self.ensemble,
             ))
         self._fwd = jax.jit(
             self._forward,

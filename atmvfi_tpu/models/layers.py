@@ -346,6 +346,36 @@ def attention_probs(q, k, scale, mask: Optional[jnp.ndarray],
     return p if out_dtype is None else p.astype(out_dtype)
 
 
+class _DenseParams(nn.Module):
+    """Param holder with nn.Dense's exact tree ({kernel[, bias]}) so
+    the fused-block kernel path binds the same checkpoint weights as
+    the module path."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_init(),
+                       (self.in_features, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """Param holder with nn.LayerNorm's exact tree ({scale, bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return g, b
+
+
 class AttentionToMotion(nn.Module):
     """Cross-frame window attention emitting appearance + motion.
 
@@ -354,7 +384,12 @@ class AttentionToMotion(nn.Module):
     sum_k attn[q,k] * (coord_k - coord_q), reduced over heads by a tiny
     shared MLP per direction. On TPU the probability tensor never hits
     HBM: the fused Pallas kernel (ops/attention_pallas.py) emits both
-    outputs in one pass.
+    outputs in one pass. With `block_ln` (the parent's norm1 params),
+    the round-5 BLOCK kernel additionally folds the LayerNorm, the
+    q/kv/proj projections, the cross-frame batch-half swap (kv BlockSpec
+    index map) and the residual-to-norm add into the same pass; x1 is
+    then the UNnormalized window tokens and the first return value is
+    `norm1(x) + proj(attn_out)`.
     """
 
     dim: int
@@ -365,8 +400,10 @@ class AttentionToMotion(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x1, x2, mask=None):
+    def __call__(self, x1, x2, mask=None, block_ln=None,
+                 interpret: bool = False):
         from atmvfi_tpu.ops.attention_pallas import (
+            fused_atm_block,
             fused_window_attention_packed,
             resolve_attention_impl,
         )
@@ -378,10 +415,32 @@ class AttentionToMotion(nn.Module):
         dense = lambda f, name, bias=True: nn.Dense(
             f, use_bias=bias, kernel_init=trunc_normal_init(), dtype=self.dtype, name=name
         )
+        rel_f = ops.relative_coords(self.window_size)  # [2, N, N] f32
+        if block_ln is not None:
+            assert not self.qkv_bias, "block kernel assumes bias-free q/kv"
+            wq, _ = _DenseParams(C, C, self.qkv_bias, name="q")()
+            wkv, _ = _DenseParams(C, 2 * C, self.qkv_bias, name="kv")()
+            wp, bp = _DenseParams(C, C, True, name="proj")()
+            mask_exp = (
+                None if mask is None
+                else jnp.tile(mask, (B // mask.shape[0], 1, 1))
+            )
+            y, motion_p = fused_atm_block(
+                x1.astype(self.dtype), wq, wkv, wp, bp,
+                block_ln[0], block_ln[1], scale, rel_f, mask_exp,
+                h, True, 8, interpret,
+            )
+            motion = motion_p.astype(self.dtype).reshape(B, N, h, 2)
+            motion = motion.transpose(0, 3, 1, 2)  # [B, 2, N, h]
+            m = dense(h // 2, "mlp_fc1")(motion)
+            m = gelu(m)
+            m = dense(1, "mlp_fc2")(m)  # [B, 2, N, 1]
+            return y, m[..., 0].transpose(0, 2, 1)
+
         q_p = dense(C, "q", self.qkv_bias)(x1)
         kv_p = dense(2 * C, "kv", self.qkv_bias)(x2)
 
-        rel = ops.relative_coords(self.window_size)  # [2, N, N] f32
+        rel = rel_f
         use_pallas, interpret = resolve_attention_impl(self.attn_impl, B)
         if use_pallas:
             # layout-native kernel: per-head slicing happens in the
@@ -423,8 +482,10 @@ class WindowAttention(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, block_ln=None,
+                 interpret: bool = False):
         from atmvfi_tpu.ops.attention_pallas import (
+            fused_atm_block,
             fused_window_attention_packed,
             resolve_attention_impl,
         )
@@ -436,6 +497,20 @@ class WindowAttention(nn.Module):
         dense = lambda f, name, bias=True: nn.Dense(
             f, use_bias=bias, kernel_init=trunc_normal_init(), dtype=self.dtype, name=name
         )
+        if block_ln is not None:
+            assert not self.qkv_bias, "block kernel assumes bias-free qkv"
+            wqkv, _ = _DenseParams(C, 3 * C, self.qkv_bias, name="qkv")()
+            wp, bp = _DenseParams(C, C, True, name="proj")()
+            mask_exp = (
+                None if mask is None
+                else jnp.tile(mask, (B // mask.shape[0], 1, 1))
+            )
+            y, _ = fused_atm_block(
+                x.astype(self.dtype), wqkv[:, :C], wqkv[:, C:], wp, bp,
+                block_ln[0], block_ln[1], scale, None, mask_exp,
+                h, False, 8, interpret,
+            )
+            return y
         qkv_p = dense(3 * C, "qkv", self.qkv_bias)(x)
         use_pallas, interpret = resolve_attention_impl(self.attn_impl, B)
         if use_pallas:
@@ -499,22 +574,40 @@ class ATMFormer(_SwinShell):
 
     @nn.compact
     def __call__(self, x):
+        from atmvfi_tpu.ops.attention_pallas import (
+            resolve_attention_block_mode,
+        )
+
         B2, H, W, C = x.shape
         x_pad, mask = self._prologue(x)
         Hp, Wp = x_pad.shape[1], x_pad.shape[2]
         x_win = ops.window_partition(x_pad, (self.window_size, self.window_size))
         nwB = x_win.shape[0]
-        x_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x_win)
-        x_rev = jnp.concatenate([x_norm[nwB // 2 :], x_norm[: nwB // 2]], axis=0)
-        app, motion = AttentionToMotion(
+        mode, interp = resolve_attention_block_mode(self.attn_impl, nwB)
+        attn_mod = AttentionToMotion(
             self.dim,
             self.window_size,
             num_heads=self.num_heads,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="attn",
-        )(x_norm, x_rev, mask)
-        x_norm = x_norm + app
+        )
+        if mode == "block":
+            # norm1 + q/kv/proj + frame swap + residual fused into the
+            # block kernel; this module only materializes norm1's params
+            g, b = _LNParams(C, name="norm1")()
+            x_norm, motion = attn_mod(
+                x_win, None, mask, block_ln=(g, b), interpret=interp
+            )
+        else:
+            x_norm = nn.LayerNorm(
+                epsilon=LN_EPS, dtype=self.dtype, name="norm1"
+            )(x_win)
+            x_rev = jnp.concatenate(
+                [x_norm[nwB // 2 :], x_norm[: nwB // 2]], axis=0
+            )
+            app, motion = attn_mod(x_norm, x_rev, mask)
+            x_norm = x_norm + app
 
         x_out = self._epilogue(x_norm, Hp, Wp, H, W)
         motion_out = self._epilogue(motion, Hp, Wp, H, W)
@@ -537,16 +630,31 @@ class RefineBottleneck(_SwinShell):
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C] -> [B, H, W, C]
+        from atmvfi_tpu.ops.attention_pallas import (
+            resolve_attention_block_mode,
+        )
+
         B, H, W, C = x.shape
         x_pad, mask = self._prologue(x)
         Hp, Wp = x_pad.shape[1], x_pad.shape[2]
         x_win = ops.window_partition(x_pad, (self.window_size, self.window_size))
-        x_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x_win)
-        app = WindowAttention(
+        mode, interp = resolve_attention_block_mode(
+            self.attn_impl, x_win.shape[0]
+        )
+        attn_mod = WindowAttention(
             self.dim, num_heads=self.num_heads, dtype=self.dtype,
             attn_impl=self.attn_impl, name="attn",
-        )(x_norm, mask)
-        x_norm = x_norm + app
+        )
+        if mode == "block":
+            g, b = _LNParams(C, name="norm1")()
+            x_norm = attn_mod(x_win, mask, block_ln=(g, b),
+                              interpret=interp)
+        else:
+            x_norm = nn.LayerNorm(
+                epsilon=LN_EPS, dtype=self.dtype, name="norm1"
+            )(x_win)
+            app = attn_mod(x_norm, mask)
+            x_norm = x_norm + app
         x_out = self._epilogue(x_norm, Hp, Wp, H, W)
         y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x_out)
         x_out = x_out + Mlp(

@@ -330,10 +330,17 @@ class Network(nn.Module):
 
     def estimate_global_motion(self, x, feat_scale_level):
         """x: coarsest encoder feat [2B, h8, w8, C]; returns 1/16-res flows."""
-        B = x.shape[0] // 2
         feat_ = _seq(self.last_feat_extract, x)
         levels = [feat_scale_level[1], feat_scale_level[2], feat_]
         feat_ = self.global_feature_fusion(levels)
+        return self._global_motion_from_tokens(feat_)
+
+    def _global_motion_from_tokens(self, feat_):
+        """Attention half of the global branch: fused 1/16 tokens ->
+        flows. Split out so the spatial serving schedule can run the
+        conv front (last_feat_extract + global fusion) per shard and
+        only this part replicated (parallel/spatial.py deep cut)."""
+        B = feat_.shape[0] // 2
         motion_chunks = []
         for blk in self.global_motion_atmformer:
             feat_, m = blk(feat_)
@@ -867,7 +874,109 @@ class Network(nn.Module):
     # sources via the source-offset ops, so any flow magnitude stays
     # exact. Serving-only (B == 1, no training outputs).
     # ------------------------------------------------------------------
-    def serving_head(self, im0, im1, global_motion: bool = True):
+    # ---- deep three-way split (round-5): sharded conv front ----------
+    # front (SHARDED): pyramid encoder + both cross-scale fusions on a
+    #   full-res row slab — the full-res conv work that dominated the
+    #   old replicated head. Slab start must be ≡ 0 (mod 16) so every
+    #   strided conv (stride 2/4 legs, 1/16 extract) lands on the
+    #   global stride grid; corrupted slab-edge rows are cropped by the
+    #   caller before the token all-gathers.
+    # middle (REPLICATED): everything attention — global/local
+    #   ATMFormers, motion MLPs, enhancement, the unbounded token/
+    #   feature warps — on the gathered 1/8 + 1/16 token maps. This is
+    #   the Amdahl floor of the schedule (PERF_NOTES round 5).
+    # tail (SHARDED): all three decoder stages + blends + refiner on a
+    #   slab of the replicated decoder input (serving_tail_deep).
+    # ------------------------------------------------------------------
+    def serving_front(self, im0_slab, im1_slab, global_motion: bool = True):
+        """Sharded front: frame slab [1, Hs, W, 3] x2 ->
+        (fused 1/8 tokens [2, Hs/8, W/8, fused_dim],
+         global 1/16 tokens [2, Hs/16, W/16, global_dim] | None)."""
+        c = self.cfg
+        im0_slab = im0_slab.astype(jnp.float32)
+        im1_slab = im1_slab.astype(jnp.float32)
+        img_planes = None
+        if self._planar_tail_on(im0_slab.shape[1], im0_slab.shape[2]):
+            from atmvfi_tpu.ops.warp_pallas import nhwc_to_planar
+
+            img_planes = jnp.concatenate(
+                [nhwc_to_planar(im0_slab), nhwc_to_planar(im1_slab)],
+                axis=1,
+            )
+        x, fsl = self.shared_feat_extraction(
+            jnp.concatenate([im0_slab, im1_slab], axis=0).astype(c.dtype),
+            img_planes,
+        )
+        feat = self.cross_scale_feature_fusion(fsl)
+        gtok = None
+        if global_motion:
+            feat_ = _seq(self.last_feat_extract, x)
+            gtok = self.global_feature_fusion([fsl[1], fsl[2], feat_])
+        return feat, gtok
+
+    def serving_middle(self, feat, gtok, global_motion: bool = True):
+        """Replicated middle: gathered token maps -> decoder input.
+
+        feat: [2B, H/8, W/8, fused_dim]; gtok: [2B, H/16, W/16,
+        global_dim] (None when global_motion off). Returns
+        (dec_in [B, H/8, W/8, 2*fused+5], gf0_full, gf1_full) with the
+        full-res global flows replicated (the align_corners resize is
+        not slab-local, and at 2 channels the replicated upsample is
+        cheap); the tail slices its slab rows from them."""
+        c = self.cfg
+        B = feat.shape[0] // 2
+        gf0_full = gf1_full = None
+        if global_motion:
+            gf0, gf1, _ = self._global_motion_from_tokens(gtok)
+            gf0 = ops.upsample_flow(gf0, 2)
+            gf1 = ops.upsample_flow(gf1, 2)
+            feat = jnp.concatenate(
+                [self._warp(feat[:B], gf0), self._warp(feat[B:], gf1)],
+                axis=0,
+            )
+            for _ in range(c.pyramid_level - 1):
+                gf0 = ops.upsample_flow(gf0, 2)
+                gf1 = ops.upsample_flow(gf1, 2)
+            gf0_full, gf1_full = gf0, gf1
+
+        flow0, flow1, occ1, feat, out = self.estimate_local_motion(feat)
+        feat = self.shared_feat_enhancement(feat)
+        feat = jnp.concatenate([feat[:B], feat[B:]], axis=-1)
+        fd1 = c.decoder_dims[0]
+        dec_in = jnp.concatenate(
+            [
+                self._warp(feat[..., :fd1], flow0),
+                self._warp(feat[..., fd1 : 2 * fd1], flow1),
+                out,
+            ],
+            axis=-1,
+        )
+        return dec_in, gf0_full, gf1_full
+
+    def serving_tail_deep(self, dec_in_slab, im0_pl, im1_pl, gf0_slab,
+                          gf1_slab, slab_row0, crop_off: int,
+                          h_loc: int, axis_name: str,
+                          global_motion: bool = True):
+        """Sharded deep tail: decoder-input slab -> the shard's I_t rows.
+
+        dec_in_slab: [1, Hs/8, W/8, 2*fused+5] slice of serving_middle's
+        replicated output; gf*_slab: [1, Hs, W, 2] full-res global-flow
+        slab rows (None when global_motion off); other args as
+        serving_tail. Runs decoder stages 2 and 1 on the slab (the old
+        replicated-head work), then the existing scale-0 tail."""
+        feat = dec_in_slab
+        skips = []
+        mo = self.cfg.motion_out_dim
+        for stage in (self.upsample0, self.upsample1):
+            feat = self._decoder_stage(stage, feat)
+            skips.append(feat[..., :-mo])
+        return self.serving_tail(
+            feat, skips, im0_pl, im1_pl, gf0_slab, gf1_slab, slab_row0,
+            crop_off, h_loc, axis_name, global_motion=global_motion,
+        )
+
+    def serving_head(self, im0, im1, global_motion: bool = True,
+                     ensemble_global_motion: bool = False):
         """Replicated head: full frames -> tail inputs.
 
         Returns (feat, skips, gf0_full, gf1_full): feat is the scale-1
@@ -903,7 +1012,16 @@ class Network(nn.Module):
 
         gf0_full = gf1_full = None
         if global_motion:
-            gf0, gf1, _ = self.estimate_global_motion(x, feat_scale_level)
+            if ensemble_global_motion:
+                # SNU/Xiph ensemble protocol on the mesh path (round-5
+                # VERDICT item 6): the multiscale ensemble is <= 1/2-res
+                # work plus full-res alignmentness warps, run replicated
+                # here on the gathered frames (network_base.py:564-605)
+                gf0, gf1 = self.multiscale_global_motion_ensemble(im0, im1)
+            else:
+                gf0, gf1, _ = self.estimate_global_motion(
+                    x, feat_scale_level
+                )
             gf0 = ops.upsample_flow(gf0, 2)
             gf1 = ops.upsample_flow(gf1, 2)
             feat = jnp.concatenate(

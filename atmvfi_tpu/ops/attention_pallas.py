@@ -28,11 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 # 'auto' window-count gate: below this many packed windows the kernel's
-# fixed dispatch + grid overhead exceeds its layout savings and XLA wins
-# (measured round 5, v5e: base 448x256 has 56 local / 12 global windows
-# and ran 124.5 fps with the kernel vs 128+ on XLA; 1080p/4K window
-# counts are >= 510 and the kernel wins there — PERF_NOTES round 5 A/B).
-AUTO_MIN_WINDOWS = 256
+# fixed dispatch + grid overhead can exceed its layout savings. The
+# round-4 claim that 448x256 (56 local windows) regressed -3% did NOT
+# reproduce in the round-5 alternating A/B (kernel 126.6-130 fps vs
+# XLA 122.2-127.8 over 4 reps, v5e 2026-08-20 — PERF_NOTES round 5),
+# so the floor sits below the smallest measured size as a guard for
+# degenerate shapes only (e.g. the 12-window global branch at tiny
+# inputs), not a measured crossover.
+AUTO_MIN_WINDOWS = 32
 
 
 def resolve_attention_impl(impl: str,
@@ -70,6 +73,30 @@ def resolve_attention_impl(impl: str,
     if n_windows is not None and n_windows < AUTO_MIN_WINDOWS:
         return False, False
     return jax.default_backend() == "tpu", False
+
+
+def resolve_attention_block_mode(impl: str,
+                                 n_windows: Optional[int] = None
+                                 ) -> Tuple[str, bool]:
+    """-> (mode, interpret), mode in {"block", "packed", "xla"}.
+
+    "block" = the round-5 fused transformer-block kernel
+    (fused_atm_block: LN + q/kv/proj + swap + attention + residual in
+    one pass); "packed" = the round-4 attention-only kernel; "xla" =
+    batched-matmul HLOs. 'auto' currently resolves to "packed" on TPU
+    (the round-4 default); the block kernel is opt-in via
+    attention_impl="pallas_block" until its device A/B lands
+    (PERF_NOTES round 5).
+    """
+    if impl == "pallas_block":
+        return "block", jax.default_backend() != "tpu"
+    if impl == "pallas":
+        return "packed", jax.default_backend() != "tpu"
+    if impl == "xla":
+        return "xla", False
+    if n_windows is not None and n_windows < AUTO_MIN_WINDOWS:
+        return "xla", False
+    return ("packed" if jax.default_backend() == "tpu" else "xla"), False
 
 
 def reference_window_attention(q, k, v, scale, rel=None, mask=None):
@@ -380,6 +407,266 @@ def _packed_bwd_rule(scale, num_heads, block_windows, interpret,
 
 
 fused_window_attention_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)
+
+
+# ----------------------------------------------------------------------
+# Fused transformer-BLOCK kernel (round-5): LayerNorm + q/kv projections
+# + cross-frame window swap + attention + output projection + the
+# reference's residual-to-norm quirk, in ONE pass over the token map.
+#
+# The XLA path materializes (per block) x_norm, x_rev, q_p, kv_p, the
+# attention out and the proj out in HBM — ~13 C-wide HBM passes over
+# the full token map. This kernel reads x twice (once as the q side,
+# once as the OTHER frame's kv side, selected by the kv BlockSpec index
+# map, so the swapped tensor never exists) and writes y + motion: ~3
+# passes. The projections run on [wb*N, C] tiles already resident in
+# VMEM. The round-4 trace's dense-matmul (30.4 ms) + LayerNorm (~13 ms)
+# buckets are the target (PERF_NOTES round 5).
+# ----------------------------------------------------------------------
+def _ln(x, g, b, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return y * g.astype(jnp.float32) + b.astype(jnp.float32)
+
+
+def _block_kernel(x_ref, xs_ref, wq_ref, wkv_ref, wp_ref, bp_ref,
+                  g_ref, b_ref, rel_ref, mask_ref, y_ref, motion_ref, *,
+                  scale, block_windows, num_heads, head_dim,
+                  with_motion, with_mask, precision):
+    wb, N, C = x_ref.shape
+    dt = x_ref.dtype
+    xn = _ln(x_ref[...], g_ref[0], b_ref[0]).astype(dt)     # [wb, N, C]
+    xs = _ln(xs_ref[...], g_ref[0], b_ref[0]).astype(dt)
+    x2 = xn.reshape(wb * N, C)
+    q = jax.lax.dot_general(
+        x2, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(dt).reshape(wb, N, C)
+    kv = jax.lax.dot_general(
+        xs.reshape(wb * N, C), wkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(dt).reshape(wb, N, 2 * C)
+    outs = []
+    for j in range(num_heads):
+        lo, hi = j * head_dim, (j + 1) * head_dim
+        attn = jax.lax.dot_general(
+            q[:, :, lo:hi], kv[:, :, lo:hi], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * scale                                    # [wb, N, N] f32
+        if with_mask:
+            attn = attn + mask_ref[...].astype(jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)
+        a = attn.astype(dt)
+        outs.append(jax.lax.dot_general(
+            a, kv[:, :, C + lo : C + hi], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        ))
+        if with_motion:
+            mx = jnp.sum(attn * rel_ref[0][None].astype(jnp.float32),
+                         axis=-1)
+            my = jnp.sum(attn * rel_ref[1][None].astype(jnp.float32),
+                         axis=-1)
+            motion_ref[:, :, 2 * j : 2 * j + 2] = jnp.stack(
+                [mx, my], axis=-1
+            ).astype(motion_ref.dtype)
+    app = jnp.concatenate(outs, axis=-1)             # [wb, N, C] f32
+    out = jax.lax.dot_general(
+        app.astype(dt).reshape(wb * N, C), wp_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) + bp_ref[0].astype(jnp.float32)
+    # reference residual quirk: add to norm1(x), not to x
+    # (attention.py:320-322)
+    y_ref[...] = (
+        xn.astype(jnp.float32) + out.reshape(wb, N, C)
+    ).astype(y_ref.dtype)
+
+
+def _block_reference(x, wq, wkv, wproj, bproj, ln_g, ln_b, scale, rel,
+                     mask, num_heads, swap_halves):
+    """Pure-jnp reference of the fused block (tests + backward)."""
+    BW, N, C = x.shape
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = jnp.square(xf - mu).mean(-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_g + ln_b).astype(
+        x.dtype
+    )
+    xs = (
+        jnp.concatenate([xn[BW // 2 :], xn[: BW // 2]], axis=0)
+        if swap_halves else xn
+    )
+    q = (xn.reshape(-1, C) @ wq.astype(x.dtype)).reshape(BW, N, C)
+    kv = (xs.reshape(-1, C) @ wkv.astype(x.dtype)).reshape(BW, N, 2 * C)
+    app, motion = _packed_reference(q, kv, scale, rel, mask, num_heads)
+    out = (app.reshape(-1, C) @ wproj.astype(x.dtype)).reshape(
+        BW, N, C
+    ) + bproj.astype(x.dtype)
+    return (xn + out).astype(x.dtype), motion
+
+
+def _block_forward(x, wq, wkv, wproj, bproj, ln_g, ln_b, scale, rel,
+                   mask, num_heads, swap_halves, block_windows,
+                   interpret):
+    BW, N, C = x.shape
+    h = num_heads
+    hd = C // h
+    with_motion = rel is not None
+    with_mask = mask is not None
+    # VMEM budget per block step: x, xs, xn, xs_n, q, app, y ~ 7*N*C,
+    # kv 2 more, plus f32 softmax temps ~6*N^2 and the weights
+    # (~5*C^2). Clamp wb to ~6 MB of block buffers; additionally wb
+    # must divide BW//2 when swapping so the kv index map lands on the
+    # true half boundary.
+    item = jnp.dtype(x.dtype).itemsize
+    bpw = 11 * N * C * item + 6 * N * N * 4
+    budget = int(max(6e6 - 5 * C * C * item, 1e6))
+    wb = max(1, min(block_windows, BW, budget // max(bpw, 1)))
+    half = BW // 2 if swap_halves else BW
+    while wb > 1 and half % wb:
+        wb -= 1
+    if swap_halves and (BW % 2 or (BW // 2) % wb):
+        # unalignable (tiny odd BW): materialize the swap instead
+        xs_in = jnp.concatenate([x[BW // 2 :], x[: BW // 2]], axis=0)
+        swap_halves = False
+    else:
+        xs_in = x
+    bw_pad = ((BW + wb - 1) // wb) * wb
+    xp = _pad_windows(x, bw_pad)
+    xsp = _pad_windows(xs_in, bw_pad)
+    nb = bw_pad // wb
+    half_blocks = (BW // 2) // wb if swap_halves else 0
+
+    if swap_halves:
+        # wb | BW/2 here, so bw_pad == BW and every block is real: the
+        # kv side of block i is block (i + nb/2) mod nb — the OTHER
+        # frame's copy of the same windows, never materialized
+        def xs_map(i):
+            return (jax.lax.rem(i + half_blocks, nb), 0, 0)
+    else:
+        def xs_map(i):
+            return (i, 0, 0)
+
+    args = [xp, xsp, wq.astype(x.dtype), wkv.astype(x.dtype),
+            wproj.astype(x.dtype),
+            bproj.reshape(1, -1).astype(x.dtype),
+            ln_g.reshape(1, -1).astype(jnp.float32),
+            ln_b.reshape(1, -1).astype(jnp.float32)]
+    in_specs = [
+        pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, N, C), xs_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, 2 * C), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if with_motion:
+        args.append(rel)
+        in_specs.append(
+            pl.BlockSpec((2, N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        args.append(jnp.zeros((1, 1), x.dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if with_mask:
+        args.append(_pad_windows(mask.astype(jnp.bfloat16), bw_pad))
+        in_specs.append(
+            pl.BlockSpec((wb, N, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        args.append(jnp.zeros((1, 1), x.dtype))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _block_kernel, scale=scale, block_windows=wb, num_heads=h,
+        head_dim=hd, with_motion=with_motion, with_mask=with_mask,
+        precision=(jax.lax.Precision.HIGHEST
+                   if x.dtype == jnp.float32 else None),
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((bw_pad, N, C), x.dtype),
+        jax.ShapeDtypeStruct((bw_pad, N, 2 * h) if with_motion
+                             else (1, 1, 1), x.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, N, 2 * h), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if with_motion
+        else pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    y, motion = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+    y = y[:BW]
+    motion = motion[:BW] if with_motion else None
+    return y, motion
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 10, 11, 12, 13))
+def fused_atm_block(x, wq, wkv, wproj, bproj, ln_g, ln_b, scale, rel,
+                    mask, num_heads: int, swap_halves: bool,
+                    block_windows: int = 8, interpret: bool = False):
+    """Fused transformer block core on packed windows.
+
+    x: [BW, N, C] unnormalized window tokens (BW = 2B*nW for ATM
+    blocks, frame halves stacked); returns (y, motion):
+    y = norm1(x) + proj(attention(norm1(x), kv-from-swapped-half)) —
+    the reference's residual-to-norm form — and motion [BW, N, 2h]
+    (None without rel). swap_halves selects the ATM cross-frame kv
+    source (attention.py:318-319) without materializing it.
+    """
+    return _block_forward(x, wq, wkv, wproj, bproj, ln_g, ln_b, scale,
+                          rel, mask, num_heads, swap_halves,
+                          block_windows, interpret)
+
+
+def _block_fwd_rule(x, wq, wkv, wproj, bproj, ln_g, ln_b, scale, rel,
+                    mask, num_heads, swap_halves, block_windows,
+                    interpret):
+    out = _block_forward(x, wq, wkv, wproj, bproj, ln_g, ln_b, scale,
+                         rel, mask, num_heads, swap_halves,
+                         block_windows, interpret)
+    return out, (x, wq, wkv, wproj, bproj, ln_g, ln_b, rel, mask)
+
+
+def _block_bwd_rule(scale, num_heads, swap_halves, block_windows,
+                    interpret, residuals, grads):
+    x, wq, wkv, wproj, bproj, ln_g, ln_b, rel, mask = residuals
+    g_y, g_motion = grads
+
+    def ref(x, wq, wkv, wproj, bproj, ln_g, ln_b):
+        y, motion = _block_reference(
+            x, wq, wkv, wproj, bproj, ln_g, ln_b, scale, rel, mask,
+            num_heads, swap_halves,
+        )
+        if motion is None:
+            return (y,)
+        return (y, motion)
+
+    _, vjp = jax.vjp(ref, x, wq, wkv, wproj, bproj, ln_g, ln_b)
+    if rel is None:
+        gs = vjp((g_y,))
+    else:
+        gs = vjp((g_y, g_motion))
+    return gs + (None, None)
+
+
+fused_atm_block.defvjp(_block_fwd_rule, _block_bwd_rule)
 
 
 def _fwd_rule(q, k, v, scale, rel, mask, block_windows, interpret):

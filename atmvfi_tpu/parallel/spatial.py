@@ -101,48 +101,59 @@ def make_dp_forward(net, mesh, global_motion: bool = True):
     return forward
 
 
-def make_spatial_forward(net, mesh, margin: int = 64,
-                         global_motion: bool = True):
+def make_spatial_forward(net, mesh, margin: int = 96,
+                         global_motion: bool = True,
+                         ensemble_global_motion: bool = False,
+                         deep: bool = True):
     """Height-sharded single-pair serving forward.
 
-    Requires H % (64 * n_spatial) == 0 (the pipeline's pad divisor
-    handles this) and margin % 16 == 0. Returns
-    forward(variables, im0, im1) with im0/im1 [1, H, W, 3] sharded (or
-    shardable) as P(None, 'spatial'); the result I_t carries the same
-    sharding."""
+    Requires H % (16 * n_spatial) == 0 for the deep cut (H % (8 * n)
+    for the shallow one — the pipeline's pad divisor handles both) and
+    margin % 16 == 0. Returns forward(variables, im0, im1) with
+    im0/im1 [1, H, W, 3] sharded (or shardable) as P(None, 'spatial');
+    the result I_t carries the same sharding.
+
+    deep=True (default, round-5): three-way cut — the conv FRONT
+    (encoder + both cross-scale fusions) runs per shard on a full-res
+    row slab, the 1/8 + 1/16 token maps are all-gathered, only the
+    attention MIDDLE is replicated, and the TAIL (all three decoder
+    stages + blends + refiner) runs per shard. deep=False keeps the
+    round-4 shallow cut (head replicated through decoder stage 1).
+    Ensemble mode forces the shallow cut: its multiscale global
+    estimate re-runs the encoder at three scales on the full frames
+    (network.py serving_head), which the slab front cannot shard.
+    """
     from atmvfi_tpu.models.network import Network
     from atmvfi_tpu.ops.warp_pallas import nhwc_to_planar
 
     assert margin % 16 == 0, "margin must keep 16-row slab alignment"
     n = mesh.shape[SPATIAL_AXIS]
+    if ensemble_global_motion:
+        deep = False
+        assert global_motion, "ensemble mode implies global_motion"
 
-    def per_shard(variables, im0_loc, im1_loc):
-        B, h_loc, W, _ = im0_loc.shape
-        assert B == 1, "spatial serving is B == 1"
-        H = h_loc * n
-        i = jax.lax.axis_index(SPATIAL_AXIS)
-
-        im0f = jax.lax.all_gather(im0_loc, SPATIAL_AXIS, axis=1,
-                                  tiled=True)
-        im1f = jax.lax.all_gather(im1_loc, SPATIAL_AXIS, axis=1,
-                                  tiled=True)
-
-        feat, skips, gf0, gf1 = net.apply(
-            variables, im0f, im1f, global_motion=global_motion,
-            method=Network.serving_head,
-        )
-
-        # slab geometry: [s, s + h_slab) in full-res rows, boundary-
-        # shifted so the slab edge is the image edge on edge shards.
-        # The margin is clamped so h_slab <= H (tiny per-shard heights
-        # degrade gracefully toward full-frame slabs) and floored to
-        # 16-row alignment for the HCW kernels' shape gates.
+    def slab_geometry(H, h_loc, i):
+        """[s, s + h_slab) in full-res rows, boundary-shifted so the
+        slab edge is the image edge on edge shards. The margin is
+        clamped so h_slab <= H (tiny per-shard heights degrade
+        gracefully toward full-frame slabs) and floored to 16-row
+        alignment for the HCW kernels' shape gates and the strided
+        convs' global-grid alignment."""
         m = min(margin, (n - 1) * h_loc, (H - h_loc) // 2)
         m = (m // 16) * 16
         h_slab = h_loc + 2 * m
         s = jnp.clip(i * h_loc - m, 0, H - h_slab)
         crop = i * h_loc - s  # shard's true rows inside the slab
+        return s, h_slab, crop
 
+    def per_shard_shallow(variables, im0f, im1f, h_loc, i):
+        H = im0f.shape[1]
+        feat, skips, gf0, gf1 = net.apply(
+            variables, im0f, im1f, global_motion=global_motion,
+            ensemble_global_motion=ensemble_global_motion,
+            method=Network.serving_head,
+        )
+        s, h_slab, crop = slab_geometry(H, h_loc, i)
         feat_slab = jax.lax.dynamic_slice_in_dim(
             feat, s // 2, h_slab // 2, 1
         )
@@ -154,15 +165,75 @@ def make_spatial_forward(net, mesh, margin: int = 64,
         if global_motion:
             gf0_slab = jax.lax.dynamic_slice_in_dim(gf0, s, h_slab, 1)
             gf1_slab = jax.lax.dynamic_slice_in_dim(gf1, s, h_slab, 1)
-
-        it_loc = net.apply(
+        return net.apply(
             variables, feat_slab, skips_slab,
             nhwc_to_planar(im0f), nhwc_to_planar(im1f),
             gf0_slab, gf1_slab, s, crop, h_loc, SPATIAL_AXIS,
             global_motion=global_motion,
             method=Network.serving_tail,
         )
-        return it_loc.astype(jnp.float32)
+
+    def per_shard_deep(variables, im0f, im1f, h_loc, i):
+        H = im0f.shape[1]
+        s, h_slab, crop = slab_geometry(H, h_loc, i)
+
+        # ---- sharded conv front on the full-res slab ----
+        im0s = jax.lax.dynamic_slice_in_dim(im0f, s, h_slab, 1)
+        im1s = jax.lax.dynamic_slice_in_dim(im1f, s, h_slab, 1)
+        feat_s, gtok_s = net.apply(
+            variables, im0s, im1s, global_motion=global_motion,
+            method=Network.serving_front,
+        )
+        # crop the slab's corrupted edges to the shard's true token
+        # rows and gather the full maps (tiny vs the frame gathers)
+        feat8 = jax.lax.all_gather(
+            jax.lax.dynamic_slice_in_dim(feat_s, crop // 8, h_loc // 8, 1),
+            SPATIAL_AXIS, axis=1, tiled=True,
+        )
+        gtok = None
+        if global_motion:
+            gtok = jax.lax.all_gather(
+                jax.lax.dynamic_slice_in_dim(
+                    gtok_s, crop // 16, h_loc // 16, 1
+                ),
+                SPATIAL_AXIS, axis=1, tiled=True,
+            )
+
+        # ---- replicated attention middle ----
+        dec_in, gf0, gf1 = net.apply(
+            variables, feat8, gtok, global_motion=global_motion,
+            method=Network.serving_middle,
+        )
+
+        # ---- sharded tail: decoder stages 2-0 + refiner on the slab ----
+        dec_slab = jax.lax.dynamic_slice_in_dim(
+            dec_in, s // 8, h_slab // 8, 1
+        )
+        gf0_slab = gf1_slab = None
+        if global_motion:
+            gf0_slab = jax.lax.dynamic_slice_in_dim(gf0, s, h_slab, 1)
+            gf1_slab = jax.lax.dynamic_slice_in_dim(gf1, s, h_slab, 1)
+        return net.apply(
+            variables, dec_slab,
+            nhwc_to_planar(im0f), nhwc_to_planar(im1f),
+            gf0_slab, gf1_slab, s, crop, h_loc, SPATIAL_AXIS,
+            global_motion=global_motion,
+            method=Network.serving_tail_deep,
+        )
+
+    def per_shard(variables, im0_loc, im1_loc):
+        B, h_loc, W, _ = im0_loc.shape
+        assert B == 1, "spatial serving is B == 1"
+        H = h_loc * n
+        i = jax.lax.axis_index(SPATIAL_AXIS)
+
+        im0f = jax.lax.all_gather(im0_loc, SPATIAL_AXIS, axis=1,
+                                  tiled=True)
+        im1f = jax.lax.all_gather(im1_loc, SPATIAL_AXIS, axis=1,
+                                  tiled=True)
+        body = per_shard_deep if (deep and h_loc % 16 == 0) \
+            else per_shard_shallow
+        return body(variables, im0f, im1f, h_loc, i).astype(jnp.float32)
 
     fwd = _shard_map(
         per_shard, mesh,
@@ -180,9 +251,82 @@ def make_spatial_forward(net, mesh, margin: int = 64,
     return forward
 
 
+def make_deep_shard_sim(net, H: int, W: int, n: int, margin: int = 96,
+                        global_motion: bool = True):
+    """Single-chip jit-able simulation of ONE shard's DEEP-schedule
+    program (shard i=1, the interior slab): front on the slab,
+    replicated attention middle, deep tail on the slab. Collectives
+    are replaced by shape-preserving stand-ins (token tiling / in-slab
+    warps), so this measures per-shard TIME on one chip; the ICI term
+    is added analytically from `spatial_ici_bytes_deep`. Used by
+    bench.py's `spatial_projected_fps_{n}` extras and
+    scripts/tpu_spatial_check.py; exactness of the real collective
+    schedule is tested separately (tests/test_spatial.py, dryrun
+    check 4)."""
+    from atmvfi_tpu.models.network import Network
+    from atmvfi_tpu.ops.warp_pallas import nhwc_to_planar
+
+    h_loc = H // n
+    assert h_loc % 16 == 0
+    m = min(margin, (n - 1) * h_loc, (H - h_loc) // 2)
+    m = (m // 16) * 16
+    h_slab = h_loc + 2 * m
+    i = min(1, n - 1)
+    s = min(max(i * h_loc - m, 0), H - h_slab)
+    crop = i * h_loc - s
+
+    def f(variables, a, b):
+        a_s = a[:, s : s + h_slab]
+        b_s = b[:, s : s + h_slab]
+        feat_s, gtok_s = net.apply(
+            variables, a_s, b_s, global_motion=global_motion,
+            method=Network.serving_front,
+        )
+        f8 = jnp.concatenate(
+            [feat_s[:, crop // 8 : (crop + h_loc) // 8]] * n, axis=1
+        )
+        g16 = None
+        if global_motion:
+            g16 = jnp.concatenate(
+                [gtok_s[:, crop // 16 : (crop + h_loc) // 16]] * n, axis=1
+            )
+        dec_in, gf0, gf1 = net.apply(
+            variables, f8, g16, global_motion=global_motion,
+            method=Network.serving_middle,
+        )
+        gf0_s = gf1_s = None
+        if global_motion:
+            gf0_s = gf0[:, s : s + h_slab]
+            gf1_s = gf1[:, s : s + h_slab]
+        return net.apply(
+            variables, dec_in[:, s // 8 : (s + h_slab) // 8],
+            nhwc_to_planar(a), nhwc_to_planar(b), gf0_s, gf1_s,
+            jnp.int32(s), jnp.int32(crop), h_loc, None,
+            global_motion=global_motion,
+            method=Network.serving_tail_deep,
+        )
+
+    return f
+
+
 def spatial_ici_bytes(H: int, W: int, n: int) -> int:
-    """Per-frame inter-chip bytes of the spatial schedule: 4 full-frame
-    f32 plane gathers (2 inputs + 2 pre-aligned sources), each shard
-    contributing (n-1)/n of the array."""
+    """Per-frame inter-chip bytes of the SHALLOW spatial schedule: 4
+    full-frame f32 plane gathers (2 inputs + 2 pre-aligned sources),
+    each shard contributing (n-1)/n of the array."""
     per_gather = 3 * H * W * 4
     return int(4 * per_gather * (n - 1) / n)
+
+
+def spatial_ici_bytes_deep(H: int, W: int, n: int, fused_dim: int,
+                           global_dim: int, token_bytes: int = 2,
+                           global_motion: bool = True) -> int:
+    """Per-frame inter-chip bytes of the DEEP spatial schedule: the 4
+    full-frame f32 plane gathers of the shallow cut PLUS the 1/8 fused
+    token map ([2, H/8, W/8, fused_dim]) and, with global motion, the
+    1/16 global token map ([2, H/16, W/16, global_dim]) — cfg.dtype
+    sized (bf16 on TPU)."""
+    b = spatial_ici_bytes(H, W, n)
+    tok = 2 * (H // 8) * (W // 8) * fused_dim * token_bytes
+    if global_motion:
+        tok += 2 * (H // 16) * (W // 16) * global_dim * token_bytes
+    return int(b + tok * (n - 1) / n)

@@ -173,12 +173,24 @@ def bench_resolution(variables, net, h, w, iters):
 
     padder = InputPadder((1, h, w, 3), divisor=64)
     ph, pw = padder.padded_shape
-    stacked = _frame_pairs(h, iters, ph, pw)
+    return bench_fn(
+        lambda v, a, b: net.apply(v, a, b, global_motion=True)["I_t"],
+        variables, ph, pw, iters, seed=h,
+    )
+
+
+def bench_fn(f, variables, ph, pw, iters, seed=0):
+    """Steady-state fps of an arbitrary f(variables, im0, im1) at the
+    ALREADY-PADDED resolution (ph, pw), fenced scan chain as above."""
+    import jax
+    import jax.numpy as jnp
+
+    stacked = _frame_pairs(seed, iters, ph, pw)
 
     def chained(variables, stacked):
         def body(tok, pair):
             x0 = pair[0] + tok  # data dependency: forces sequential execution
-            y = net.apply(variables, x0, pair[1], global_motion=True)["I_t"]
+            y = f(variables, x0, pair[1])
             return y[:, :1, :1, :1] * 0.0, y.mean()
 
         _, means = jax.lax.scan(body, jnp.zeros((1, 1, 1, 1)), stacked)
@@ -187,7 +199,7 @@ def bench_resolution(variables, net, h, w, iters):
     cf = jax.jit(chained)
     t0 = time.time()
     float(cf(variables, stacked))
-    log(f"  first call (compile+run) {h}x{w}: {time.time()-t0:.1f}s")
+    log(f"  first call (compile+run) {ph}x{pw}: {time.time()-t0:.1f}s")
     t0 = time.time()
     float(cf(variables, stacked))
     dt = (time.time() - t0) / iters
@@ -272,6 +284,48 @@ def main():
         extra["lite_fps_1080p"] = round(lite_1080, 3)
         log(f"lite 1080p {lite_1080:.2f} fps")
         emit(fps_4k, extra)
+
+    if lvars is not None and not over_budget("spatial projection"):
+        # multi-chip throughput story on the official record (round-5
+        # VERDICT item 3). Two schedules (parallel/spatial.py):
+        #   * 'data' (video streams): per-chip full kernel stack, zero
+        #     collectives (equality-tested) -> fps/chip == the measured
+        #     single-chip number; aggregate = n * dp_fps_per_chip.
+        #   * 'spatial' (single-stream latency, deep cut): per-shard
+        #     time measured HERE on this chip via the one-shard
+        #     simulation (make_deep_shard_sim: front slab + replicated
+        #     attention middle + tail slab), plus an analytic ICI term
+        #     (spatial_ici_bytes_deep at an assumed 45 GB/s effective
+        #     all-gather bandwidth, v5e ring). Derivation: PERF_NOTES
+        #     round 5.
+        import jax.numpy as _jnp
+
+        from atmvfi_tpu.models import get_config as _gc
+        from atmvfi_tpu.parallel.spatial import (
+            make_deep_shard_sim, spatial_ici_bytes_deep,
+        )
+
+        extra["dp_fps_per_chip_4k_lite"] = extra.get("lite_fps_4k")
+        extra["spatial_ici_assumed_gbps"] = 45
+        _cfg = _gc("lite")
+        for n in (2, 4, 8):
+            try:
+                sim = make_deep_shard_sim(lnet, 2176, 3840, n)
+                t_shard = 1.0 / bench_fn(sim, lvars, 2176, 3840, 4)
+                ici = spatial_ici_bytes_deep(
+                    2176, 3840, n, _cfg.fused_dim, _cfg.global_dim
+                ) / 45e9
+                extra[f"spatial_projected_fps_{n}"] = round(
+                    1.0 / (t_shard + ici), 3
+                )
+                log(f"spatial deep n={n}: per-shard {t_shard*1e3:.1f} ms"
+                    f" + ICI {ici*1e3:.1f} ms -> projected "
+                    f"{extra[f'spatial_projected_fps_{n}']} fps")
+                emit(fps_4k, extra)
+            except Exception as e:
+                log(f"spatial projection n={n} skipped: {e!r}")
+            if over_budget(f"spatial projection n={n}"):
+                break
 
     if lvars is not None and not over_budget("lite fast 4K"):
         # fast serving profile (unchecked slab warps + composed full-res

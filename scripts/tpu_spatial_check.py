@@ -79,15 +79,21 @@ assert d < 5e-2, "spatial shard_map diverges on device"
 
 
 # ---------- 2. per-shard slab timing + projection (4K) ----------
-def build_sim(H, W, n, margin=64):
-    """Single-chip jit of ONE shard's program (head replicated + tail
-    on the boundary-shifted slab of shard i=1, the interior case)."""
+def slab_geom(H, n, margin=96):
     h_loc = H // n
-    m = min(margin, (n - 1) * h_loc)
+    m = min(margin, (n - 1) * h_loc, (H - h_loc) // 2)
+    m = (m // 16) * 16
     h_slab = h_loc + 2 * m
     i = min(1, n - 1)
     s = min(max(i * h_loc - m, 0), H - h_slab)
     crop = i * h_loc - s
+    return h_loc, h_slab, s, crop
+
+
+def build_sim(H, W, n, margin=64):
+    """Single-chip jit of ONE shard's SHALLOW program (head replicated
+    + tail on the boundary-shifted slab of shard i=1)."""
+    h_loc, h_slab, s, crop = slab_geom(H, n, margin)
 
     def f(v, a, b):
         feat, skips, gf0, gf1 = net.apply(
@@ -106,6 +112,15 @@ def build_sim(H, W, n, margin=64):
         )
 
     return f
+
+
+from atmvfi_tpu.parallel.spatial import make_deep_shard_sim
+
+
+def build_sim_deep(H, W, n, margin=96):
+    """One shard's DEEP program on one chip (parallel/spatial.py
+    make_deep_shard_sim — shared with bench.py's projection extras)."""
+    return make_deep_shard_sim(net, H, W, n, margin)
 
 
 def timed(f, v, a, b, iters):
@@ -150,15 +165,50 @@ t_head = timed(
     )[0],
     variables, x0, x1, ITERS,
 )
-print(f"lite 4K head (replicated part): {t_head*1e3:.1f} ms", flush=True)
+print(f"lite 4K head (replicated part, shallow): {t_head*1e3:.1f} ms",
+      flush=True)
+
+# middle-alone time (the deep cut's replicated floor)
+def middle_only(v, a, b):
+    f8, g16 = net.apply(v, a, b, global_motion=True,
+                        method=_Net.serving_front)
+    dec_in, gf0, gf1 = net.apply(v, f8, g16, global_motion=True,
+                                 method=_Net.serving_middle)
+    return dec_in
+
+t_frontfull = timed(
+    lambda v, a, b: net.apply(v, a, b, global_motion=True,
+                              method=_Net.serving_front)[0],
+    variables, x0, x1, ITERS,
+)
+t_fm = timed(middle_only, variables, x0, x1, ITERS)
+print(f"lite 4K front(full) {t_frontfull*1e3:.1f} ms; "
+      f"front+middle {t_fm*1e3:.1f} ms "
+      f"(middle ~{(t_fm-t_frontfull)*1e3:.1f} ms replicated floor)",
+      flush=True)
+
+from atmvfi_tpu.parallel.spatial import spatial_ici_bytes_deep
 
 for n in (2, 4):
     t_shard = timed(build_sim(H4, W4, n), variables, x0, x1, ITERS)
     ici = spatial_ici_bytes(H4, W4, n) / ICI_BYTES_PER_S
     proj = 1.0 / (t_shard + ici)
     print(
-        f"n={n}: per-shard (head + tail slab) {t_shard*1e3:.1f} ms + "
+        f"n={n} SHALLOW: per-shard {t_shard*1e3:.1f} ms + "
         f"ICI ~{ici*1e3:.1f} ms ({spatial_ici_bytes(H4, W4, n)/1e6:.0f} "
+        f"MB @45GB/s) -> projected {proj:.2f} fps "
+        f"({proj/ (1/t_full):.2f}x single-chip)",
+        flush=True,
+    )
+
+for n in (2, 4, 8):
+    t_shard = timed(build_sim_deep(H4, W4, n), variables, x0, x1, ITERS)
+    ib = spatial_ici_bytes_deep(H4, W4, n, cfg.fused_dim, cfg.global_dim)
+    ici = ib / ICI_BYTES_PER_S
+    proj = 1.0 / (t_shard + ici)
+    print(
+        f"n={n} DEEP: per-shard (front slab + middle + tail slab) "
+        f"{t_shard*1e3:.1f} ms + ICI ~{ici*1e3:.1f} ms ({ib/1e6:.0f} "
         f"MB @45GB/s) -> projected {proj:.2f} fps "
         f"({proj/ (1/t_full):.2f}x single-chip)",
         flush=True,

@@ -32,14 +32,16 @@ def _build(H, W, cfg):
     return net, variables, im0, im1
 
 
+@pytest.mark.parametrize("deep", [True, False])
 @pytest.mark.parametrize("global_motion", [True, False])
-def test_spatial_forward_matches_single_device(global_motion):
+def test_spatial_forward_matches_single_device(global_motion, deep):
     """2-shard spatial serving == single-device forward.
 
     H=320, margin=64: shard 1's slab is boundary-shifted (crop 128),
-    so the interior-erosion + shifted-edge geometry are both active.
-    XLA op impls (CPU default) — the decomposition under test is
-    impl-independent."""
+    so the interior-erosion + shifted-edge geometry are both active,
+    in both the deep (sharded front + replicated attention middle)
+    and shallow (replicated head) cuts. XLA op impls (CPU default) —
+    the decomposition under test is impl-independent."""
     cfg = get_config("lite")
     H, W = 320, 384
     net, variables, im0, im1 = _build(H, W, cfg)
@@ -49,7 +51,48 @@ def test_spatial_forward_matches_single_device(global_motion):
 
     mesh = make_mesh((1, 2), jax.devices()[:2])
     fwd = make_spatial_forward(net, mesh, margin=64,
-                               global_motion=global_motion)
+                               global_motion=global_motion, deep=deep)
+    out = jax.jit(fwd)(variables, im0, im1)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_spatial_forward_deep_unclamped():
+    """Deep cut at H=640, n=2, margin=96: slabs do NOT clamp to the
+    full frame (shard 0 slab [0,512), shard 1 [128,640)), so the
+    front's token-crop/all-gather and the erosion margins of all three
+    sharded decoder stages are genuinely exercised."""
+    cfg = get_config("lite")
+    H, W = 640, 384
+    net, variables, im0, im1 = _build(H, W, cfg)
+    ref = net.apply(variables, im0, im1, global_motion=True)["I_t"]
+
+    mesh = make_mesh((1, 2), jax.devices()[:2])
+    fwd = make_spatial_forward(net, mesh, margin=96, global_motion=True)
+    out = jax.jit(fwd)(variables, im0, im1)
+    # the sharded front computes the encoder on slab-shaped subgraphs,
+    # which reorders f32 conv/LN sums vs the monolithic graph; 0.025%
+    # of pixels land a few 1e-5 off (max 4.6e-5 measured, spread over
+    # the frame — NOT slab-boundary concentrated, i.e. not erosion)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_spatial_forward_ensemble():
+    """Ensemble global motion on the mesh path (round-5 VERDICT item
+    6): multiscale estimate replicated in the shallow head, equality
+    vs the single-device ensemble forward."""
+    cfg = get_config("lite")
+    H, W = 320, 384
+    net, variables, im0, im1 = _build(H, W, cfg)
+    ref = net.apply(variables, im0, im1, global_motion=True,
+                    ensemble_global_motion=True)["I_t"]
+
+    mesh = make_mesh((1, 2), jax.devices()[:2])
+    fwd = make_spatial_forward(net, mesh, margin=64, global_motion=True,
+                               ensemble_global_motion=True)
     out = jax.jit(fwd)(variables, im0, im1)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
