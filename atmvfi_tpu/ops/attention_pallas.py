@@ -83,10 +83,11 @@ def resolve_attention_block_mode(impl: str,
     "block" = the round-5 fused transformer-block kernel
     (fused_atm_block: LN + q/kv/proj + swap + attention + residual in
     one pass); "packed" = the round-4 attention-only kernel; "xla" =
-    batched-matmul HLOs. 'auto' currently resolves to "packed" on TPU
-    (the round-4 default); the block kernel is opt-in via
-    attention_impl="pallas_block" until its device A/B lands
-    (PERF_NOTES round 5).
+    batched-matmul HLOs. 'auto' resolves to "block" on TPU above the
+    window gate since the round-5 device A/B (v5e 2026-08-20,
+    scripts/tpu_block_attn_ab.py): in-model lite 4K 291.3 -> 273.7
+    ms/frame (+6.0%), base 1080p 127.3 -> 125.7 (+1.3%) vs the packed
+    kernel; demo golden unchanged (58.67 dB).
     """
     if impl == "pallas_block":
         return "block", jax.default_backend() != "tpu"
@@ -96,7 +97,7 @@ def resolve_attention_block_mode(impl: str,
         return "xla", False
     if n_windows is not None and n_windows < AUTO_MIN_WINDOWS:
         return "xla", False
-    return ("packed" if jax.default_backend() == "tpu" else "xla"), False
+    return ("block" if jax.default_backend() == "tpu" else "xla"), False
 
 
 def reference_window_attention(q, k, v, scale, rel=None, mask=None):

@@ -179,3 +179,103 @@ def test_resolver():
     # off-TPU (this CI) it stays XLA
     on_tpu = jax.default_backend() == "tpu"
     assert auto_use is on_tpu
+
+
+# ---- round-5 fused transformer-BLOCK kernel ----
+
+@pytest.mark.parametrize("swap", [False, True])
+@pytest.mark.parametrize("with_mask,with_motion", [(False, False),
+                                                   (True, True)])
+def test_block_kernel_matches_reference(swap, with_mask, with_motion):
+    from atmvfi_tpu.ops.attention_pallas import (
+        _block_reference,
+        fused_atm_block,
+    )
+
+    BW, N, C, h = 12, 64, 64, 8
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((BW, N, C)), jnp.float32)
+    wq = jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.float32)
+    wkv = jnp.asarray(rng.standard_normal((C, 2 * C)) * 0.05, jnp.float32)
+    wp = jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.float32)
+    bp = jnp.asarray(rng.standard_normal((C,)) * 0.05, jnp.float32)
+    g = jnp.asarray(1 + 0.1 * rng.standard_normal((C,)), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal((C,)), jnp.float32)
+    rel = None
+    mask = None
+    if with_motion:
+        from atmvfi_tpu import ops
+
+        rel = ops.relative_coords(8)
+    if with_mask:
+        # realistic 0/-100 additive mask (bf16-exact, like the shift
+        # masks; the kernel stores masks bf16)
+        mask = jnp.asarray(
+            -100.0 * (rng.random((BW, N, N)) < 0.3), jnp.float32
+        )
+    scale = (C // h) ** -0.5
+    y, m = fused_atm_block(x, wq, wkv, wp, bp, g, b, scale, rel, mask,
+                           h, swap, 8, True)
+    yr, mr = _block_reference(x, wq, wkv, wp, bp, g, b, scale, rel,
+                              mask, h, swap)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                               atol=2e-5, rtol=2e-5)
+    if with_motion:
+        np.testing.assert_allclose(np.asarray(m), np.asarray(mr),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_block_kernel_vjp():
+    from atmvfi_tpu.ops.attention_pallas import (
+        _block_reference,
+        fused_atm_block,
+    )
+    from atmvfi_tpu import ops
+
+    BW, N, C, h = 8, 64, 64, 8
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((BW, N, C)), jnp.float32)
+    ws = [jnp.asarray(rng.standard_normal(s) * 0.05, jnp.float32)
+          for s in ((C, C), (C, 2 * C), (C, C), (C,), (C,), (C,))]
+    rel = ops.relative_coords(8)
+    scale = (C // h) ** -0.5
+
+    def loss_k(x, *a):
+        y, m = fused_atm_block(x, *a, scale, rel, None, h, True, 8, True)
+        return (y ** 2).mean() + (m ** 2).mean()
+
+    def loss_r(x, *a):
+        y, m = _block_reference(x, *a, scale, rel, None, h, True)
+        return (y ** 2).mean() + (m ** 2).mean()
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, *ws)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, *ws)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_model_forward_with_block_kernel_matches_xla():
+    """Full lite forward, attn_impl='pallas_block' (interpret) vs 'xla'
+    — also proves the param tree is identical across modes (the same
+    variables apply to both)."""
+    import dataclasses
+
+    from atmvfi_tpu.models import Network, get_config
+
+    cfg_x = dataclasses.replace(get_config("lite"), attention_impl="xla")
+    cfg_b = dataclasses.replace(get_config("lite"),
+                                attention_impl="pallas_block")
+    H, W = 128, 192
+    rng = np.random.default_rng(9)
+    im0 = jnp.asarray(rng.random((1, H, W, 3), np.float32))
+    im1 = jnp.asarray(rng.random((1, H, W, 3), np.float32))
+    net_x, net_b = Network(cfg_x), Network(cfg_b)
+    variables = net_x.init(jax.random.PRNGKey(0), im0, im1)
+    v2 = net_b.init(jax.random.PRNGKey(0), im0, im1)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v2))
+    out_x = net_x.apply(variables, im0, im1, global_motion=True)["I_t"]
+    out_b = net_b.apply(variables, im0, im1, global_motion=True)["I_t"]
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_x),
+                               atol=5e-5, rtol=5e-5)
