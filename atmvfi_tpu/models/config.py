@@ -32,8 +32,11 @@ class ATMVFIConfig:
     refine_hidden: int = 64
     # numerics
     dtype: jnp.dtype = jnp.float32  # compute dtype (params stay f32)
-    # attention backend: "auto" (pallas on TPU, xla elsewhere),
-    # "pallas" (forced; interpret-mode off-TPU), or "xla"
+    # attention backend: "auto" (fused transformer-BLOCK kernel on TPU
+    # above the window gate, xla elsewhere), "pallas_block" (forced
+    # block kernel: LN + qkv + frame swap + attention + proj +
+    # residual in one pass), "pallas" (the round-4 attention-only
+    # packed kernel), or "xla". interpret-mode off-TPU when forced.
     attention_impl: str = "auto"
     # backward-warp backend: "auto" (tiled Pallas kernel on TPU for
     # narrow tensors, xla otherwise), "tiled", or "xla"

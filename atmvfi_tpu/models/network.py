@@ -922,7 +922,28 @@ class Network(nn.Module):
         (dec_in [B, H/8, W/8, 2*fused+5], gf0_full, gf1_full) with the
         full-res global flows replicated (the align_corners resize is
         not slab-local, and at 2 channels the replicated upsample is
-        cheap); the tail slices its slab rows from them."""
+        cheap); the tail slices its slab rows from them. Composed from
+        the three parts below so the sharded-middle schedule and this
+        replicated form share one definition."""
+        feat, gf0_full, gf1_full = self.serving_middle_global(
+            feat, gtok, global_motion
+        )
+        enh, out = self.serving_middle_attn(feat)
+        return self.serving_middle_decin(enh, out), gf0_full, gf1_full
+
+    # -- sharded-middle refinement (round-5b): the attention stack of
+    # the middle is itself slab-shardable at 1/8 when slab bounds land
+    # on the global 8-row window grid: windows are independent except
+    # at shifted boundaries, and a shifted block's wrap-around (its
+    # slab-local roll + edge-window mask) only corrupts the outermost
+    # window rows, which a >= 32-row halo absorbs. Only the global
+    # branch, the token pre-align warp, and the decoder-input feature
+    # warps (unbounded reads -> full maps) stay replicated.
+    # ------------------------------------------------------------------
+    def serving_middle_global(self, feat, gtok, global_motion: bool = True):
+        """Replicated middle part A: global flows + token pre-align.
+
+        Returns (feat_aligned [2B, H/8, W/8, C], gf0_full, gf1_full)."""
         c = self.cfg
         B = feat.shape[0] // 2
         gf0_full = gf1_full = None
@@ -938,20 +959,35 @@ class Network(nn.Module):
                 gf0 = ops.upsample_flow(gf0, 2)
                 gf1 = ops.upsample_flow(gf1, 2)
             gf0_full, gf1_full = gf0, gf1
+        return feat, gf0_full, gf1_full
 
-        flow0, flow1, occ1, feat, out = self.estimate_local_motion(feat)
+    def serving_middle_attn(self, feat_slab):
+        """Sharded middle part B: pre-aligned token slab (8-row-aligned
+        at 1/8 so the window grid matches the global partition) ->
+        (enhanced 2C features, local-motion 5ch head output) on the
+        slab rows."""
+        B = feat_slab.shape[0] // 2
+        _, _, _, feat, out = self.estimate_local_motion(feat_slab)
         feat = self.shared_feat_enhancement(feat)
         feat = jnp.concatenate([feat[:B], feat[B:]], axis=-1)
-        fd1 = c.decoder_dims[0]
-        dec_in = jnp.concatenate(
+        return feat, out
+
+    def serving_middle_decin(self, enh, out):
+        """Replicated middle part C: decoder-input assembly from the
+        gathered enhanced features + motion head output (the flows are
+        re-derived from `out` exactly as estimate_local_motion does)."""
+        fd1 = self.cfg.decoder_dims[0]
+        out_f = out.astype(jnp.float32)
+        flow0 = out_f[..., 0:2]
+        flow1 = out_f[..., 2:4]
+        return jnp.concatenate(
             [
-                self._warp(feat[..., :fd1], flow0),
-                self._warp(feat[..., fd1 : 2 * fd1], flow1),
+                self._warp(enh[..., :fd1], flow0),
+                self._warp(enh[..., fd1 : 2 * fd1], flow1),
                 out,
             ],
             axis=-1,
         )
-        return dec_in, gf0_full, gf1_full
 
     def serving_tail_deep(self, dec_in_slab, im0_pl, im1_pl, gf0_slab,
                           gf1_slab, slab_row0, crop_off: int,

@@ -634,8 +634,7 @@ def _xla_equiv_planes(x_hcw, planes, k_hwio, bias, slope, H: int,
     y = jax.lax.conv_general_dilated(
         xn, k_hwio.astype(xn.dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ) + bias.astype(jnp.float32)
+    ).astype(jnp.float32) + bias.astype(jnp.float32)
     if prelu:
         s = slope.astype(jnp.float32)
         y = jnp.maximum(y, 0.0) + s * jnp.minimum(y, 0.0)
@@ -718,8 +717,7 @@ def _xla_equiv_planes_only(planes, k_hwio, bias, slope, H: int,
     y = jax.lax.conv_general_dilated(
         xn, k_hwio.astype(xn.dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ) + bias.astype(jnp.float32)
+    ).astype(jnp.float32) + bias.astype(jnp.float32)
     if prelu:
         s = slope.astype(jnp.float32)
         y = jnp.maximum(y, 0.0) + s * jnp.minimum(y, 0.0)
@@ -1033,8 +1031,7 @@ def _xla_equiv_s2(x_hcw, k_hwio, bias, slope, H_out: int, prelu: bool,
     y = jax.lax.conv_general_dilated(
         xn, k_hwio.astype(xn.dtype), (2, 2), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ) + bias.astype(jnp.float32)
+    ).astype(jnp.float32) + bias.astype(jnp.float32)
     if prelu:
         s = slope.astype(jnp.float32)
         y = jnp.maximum(y, 0.0) + s * jnp.minimum(y, 0.0)
@@ -1266,8 +1263,7 @@ def _xla_equiv(x_hcw, k_hwio, bias, slope, H: int, prelu: bool,
     y = jax.lax.conv_general_dilated(
         xn, k_hwio.astype(xn.dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ) + bias.astype(jnp.float32)
+    ).astype(jnp.float32) + bias.astype(jnp.float32)
     if prelu:
         s = slope.astype(jnp.float32)
         y = jnp.maximum(y, 0.0) + s * jnp.minimum(y, 0.0)

@@ -104,7 +104,7 @@ def make_dp_forward(net, mesh, global_motion: bool = True):
 def make_spatial_forward(net, mesh, margin: int = 96,
                          global_motion: bool = True,
                          ensemble_global_motion: bool = False,
-                         deep: bool = True):
+                         deep: bool = True, shard_middle: bool = True):
     """Height-sharded single-pair serving forward.
 
     Requires H % (16 * n_spatial) == 0 for the deep cut (H % (8 * n)
@@ -115,13 +115,24 @@ def make_spatial_forward(net, mesh, margin: int = 96,
 
     deep=True (default, round-5): three-way cut — the conv FRONT
     (encoder + both cross-scale fusions) runs per shard on a full-res
-    row slab, the 1/8 + 1/16 token maps are all-gathered, only the
-    attention MIDDLE is replicated, and the TAIL (all three decoder
-    stages + blends + refiner) runs per shard. deep=False keeps the
-    round-4 shallow cut (head replicated through decoder stage 1).
-    Ensemble mode forces the shallow cut: its multiscale global
-    estimate re-runs the encoder at three scales on the full frames
-    (network.py serving_head), which the slab front cannot shard.
+    row slab, the 1/8 + 1/16 token maps are all-gathered, the
+    attention MIDDLE runs mostly per shard too (see below), and the
+    TAIL (all three decoder stages + blends + refiner) runs per shard.
+    deep=False keeps the round-4 shallow cut (head replicated through
+    decoder stage 1). Ensemble mode forces the shallow cut: its
+    multiscale global estimate re-runs the encoder at three scales on
+    the full frames (network.py serving_head), which the slab front
+    cannot shard.
+
+    shard_middle=True (default): the local-attention stack (2 ATM
+    blocks + motion MLP + 2 enhancement blocks) runs per shard on an
+    8-row-aligned 1/8 slab with a 32-row halo — window attention is
+    window-local except at shifted boundaries, and a shifted block's
+    slab-local wrap (roll + edge-window mask) only corrupts the
+    outermost window rows, absorbed by the halo. Replicated remainder:
+    the global branch (1/16, small), the token pre-align warp and the
+    decoder-input feature warps (backward warps read wherever flow
+    points -> full maps), and the 2-channel full-res flow upsample.
     """
     from atmvfi_tpu.models.network import Network
     from atmvfi_tpu.ops.warp_pallas import nhwc_to_planar
@@ -199,11 +210,50 @@ def make_spatial_forward(net, mesh, margin: int = 96,
                 SPATIAL_AXIS, axis=1, tiled=True,
             )
 
-        # ---- replicated attention middle ----
-        dec_in, gf0, gf1 = net.apply(
-            variables, feat8, gtok, global_motion=global_motion,
-            method=Network.serving_middle,
-        )
+        # ---- attention middle ----
+        H8 = H // 8
+        h8_loc = h_loc // 8
+        if shard_middle and H8 % 8 == 0:
+            # part A replicated (global branch + token pre-align —
+            # unbounded warp reads need the full map)
+            feat_al, gf0, gf1 = net.apply(
+                variables, feat8, gtok, global_motion=global_motion,
+                method=Network.serving_middle_global,
+            )
+            # part B sharded on an 8-row-aligned 1/8 slab with a halo
+            # that absorbs shifted-window wrap + conv receptive fields
+            # (~22 rows measured worst-case; 32 + up to 8 alignment
+            # skew). Slab bounds (not the true-row crop) must land on
+            # the global window grid.
+            ha = 32
+            a_len = min(-(-(h8_loc + 2 * ha + 8) // 8) * 8, H8)
+            a0 = jnp.clip(
+                ((i * h8_loc - ha) // 8) * 8, 0, H8 - a_len
+            )
+            acrop = i * h8_loc - a0
+            enh_s, out_s = net.apply(
+                variables,
+                jax.lax.dynamic_slice_in_dim(feat_al, a0, a_len, 1),
+                method=Network.serving_middle_attn,
+            )
+            enh = jax.lax.all_gather(
+                jax.lax.dynamic_slice_in_dim(enh_s, acrop, h8_loc, 1),
+                SPATIAL_AXIS, axis=1, tiled=True,
+            )
+            out = jax.lax.all_gather(
+                jax.lax.dynamic_slice_in_dim(out_s, acrop, h8_loc, 1),
+                SPATIAL_AXIS, axis=1, tiled=True,
+            )
+            # part C replicated (feature warps read the full maps)
+            dec_in = net.apply(
+                variables, enh, out,
+                method=Network.serving_middle_decin,
+            )
+        else:
+            dec_in, gf0, gf1 = net.apply(
+                variables, feat8, gtok, global_motion=global_motion,
+                method=Network.serving_middle,
+            )
 
         # ---- sharded tail: decoder stages 2-0 + refiner on the slab ----
         dec_slab = jax.lax.dynamic_slice_in_dim(
@@ -252,7 +302,8 @@ def make_spatial_forward(net, mesh, margin: int = 96,
 
 
 def make_deep_shard_sim(net, H: int, W: int, n: int, margin: int = 96,
-                        global_motion: bool = True):
+                        global_motion: bool = True,
+                        shard_middle: bool = True):
     """Single-chip jit-able simulation of ONE shard's DEEP-schedule
     program (shard i=1, the interior slab): front on the slab,
     replicated attention middle, deep tail on the slab. Collectives
@@ -290,10 +341,35 @@ def make_deep_shard_sim(net, H: int, W: int, n: int, margin: int = 96,
             g16 = jnp.concatenate(
                 [gtok_s[:, crop // 16 : (crop + h_loc) // 16]] * n, axis=1
             )
-        dec_in, gf0, gf1 = net.apply(
-            variables, f8, g16, global_motion=global_motion,
-            method=Network.serving_middle,
-        )
+        H8 = H // 8
+        h8_loc = h_loc // 8
+        if shard_middle and H8 % 8 == 0:
+            feat_al, gf0, gf1 = net.apply(
+                variables, f8, g16, global_motion=global_motion,
+                method=Network.serving_middle_global,
+            )
+            ha = 32
+            a_len = min(-(-(h8_loc + 2 * ha + 8) // 8) * 8, H8)
+            a0 = min(max(((i * h8_loc - ha) // 8) * 8, 0), H8 - a_len)
+            acrop = i * h8_loc - a0
+            enh_s, out_s = net.apply(
+                variables, feat_al[:, a0 : a0 + a_len],
+                method=Network.serving_middle_attn,
+            )
+            enh = jnp.concatenate(
+                [enh_s[:, acrop : acrop + h8_loc]] * n, axis=1
+            )
+            out = jnp.concatenate(
+                [out_s[:, acrop : acrop + h8_loc]] * n, axis=1
+            )
+            dec_in = net.apply(
+                variables, enh, out, method=Network.serving_middle_decin,
+            )
+        else:
+            dec_in, gf0, gf1 = net.apply(
+                variables, f8, g16, global_motion=global_motion,
+                method=Network.serving_middle,
+            )
         gf0_s = gf1_s = None
         if global_motion:
             gf0_s = gf0[:, s : s + h_slab]
@@ -319,14 +395,20 @@ def spatial_ici_bytes(H: int, W: int, n: int) -> int:
 
 def spatial_ici_bytes_deep(H: int, W: int, n: int, fused_dim: int,
                            global_dim: int, token_bytes: int = 2,
-                           global_motion: bool = True) -> int:
+                           global_motion: bool = True,
+                           shard_middle: bool = True) -> int:
     """Per-frame inter-chip bytes of the DEEP spatial schedule: the 4
     full-frame f32 plane gathers of the shallow cut PLUS the 1/8 fused
     token map ([2, H/8, W/8, fused_dim]) and, with global motion, the
     1/16 global token map ([2, H/16, W/16, global_dim]) — cfg.dtype
-    sized (bf16 on TPU)."""
+    sized (bf16 on TPU). The sharded middle adds the enhanced-feature
+    gather ([1, H/8, W/8, 2*fused_dim]) + the 5ch motion head (f32)."""
     b = spatial_ici_bytes(H, W, n)
     tok = 2 * (H // 8) * (W // 8) * fused_dim * token_bytes
     if global_motion:
         tok += 2 * (H // 16) * (W // 16) * global_dim * token_bytes
+    if shard_middle:
+        tok += (H // 8) * (W // 8) * (
+            2 * fused_dim * token_bytes + 5 * 4
+        )
     return int(b + tok * (n - 1) / n)

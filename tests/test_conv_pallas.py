@@ -532,3 +532,47 @@ def test_stacked_dx_is_identity_transform(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), atol=2e-5, rtol=2e-5
         )
+
+
+def test_hcw_op_family_bf16_grads():
+    """bf16 activations + f32 params through every differentiable HCW
+    entry point: round 5 found the VJP surrogates' preferred_element_
+    type=f32 conv made the transpose rule see mixed dtypes and raise —
+    a latent training-on-TPU crash (bf16 full-res phases). Gradient
+    must simply trace and produce finite values."""
+    import jax
+
+    from atmvfi_tpu.ops import conv_pallas as cp
+    from atmvfi_tpu.ops import deconv_pallas as dp
+
+    rng = np.random.default_rng(0)
+    B, H, W, cin, cout = 1, 16, 128, 16, 16
+    cpad = cp.channel_pad(cin, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B * H, cpad, W)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+
+    losses = {
+        "hcw": lambda: jax.grad(
+            lambda x, k: (cp.conv3x3_hcw_op(x, k, b, s, H, True, True, W)
+                          .astype(jnp.float32) ** 2).mean(),
+            argnums=(0, 1),
+        )(x, k),
+        "s2": lambda: jax.grad(
+            lambda xs, k: (cp.conv3x3s2_hcw_op(xs, k, b, s, 16, True,
+                                               True, 256)
+                           .astype(jnp.float32) ** 2).mean(),
+            argnums=(0, 1),
+        )(jnp.asarray(rng.standard_normal((32, cpad, 256)), jnp.bfloat16), k),
+        "deconv": lambda: jax.grad(
+            lambda x, kd: (dp.deconv2x_hcw_op(x, kd, b, s, True, True, W)
+                           .astype(jnp.float32) ** 2).mean(),
+            argnums=(0, 1),
+        )(x, jnp.asarray(rng.standard_normal((2, 2, cin, cout)) * 0.1,
+                         jnp.float32)),
+    }
+    for name, fn in losses.items():
+        grads = fn()
+        for gr in grads:
+            assert np.isfinite(np.asarray(gr, np.float32)).all(), name

@@ -80,6 +80,25 @@ def test_spatial_forward_deep_unclamped():
     )
 
 
+def test_spatial_forward_sharded_middle_halo_active():
+    """4-shard deep cut at H=1024 (H/8 = 128 token rows): the
+    attention-middle slab (h8_loc 32 + halo -> 104 rows) genuinely
+    crops < full height, so the shifted-window wrap corruption at slab
+    edges and the halo that absorbs it are both exercised."""
+    cfg = get_config("lite")
+    H, W = 1024, 256
+    net, variables, im0, im1 = _build(H, W, cfg)
+    ref = net.apply(variables, im0, im1, global_motion=True)["I_t"]
+
+    mesh = make_mesh((1, 4), jax.devices()[:4])
+    fwd = make_spatial_forward(net, mesh, margin=96, global_motion=True)
+    out = jax.jit(fwd)(variables, im0, im1)
+    # same f32 sum-order band as the unclamped-front test
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_spatial_forward_ensemble():
     """Ensemble global motion on the mesh path (round-5 VERDICT item
     6): multiscale estimate replicated in the shallow head, equality
