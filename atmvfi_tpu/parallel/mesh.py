@@ -13,12 +13,13 @@ layer: an ('data', 'spatial') mesh where
 Single-device falls out as a 1x1 mesh (no collectives emitted).
 
 NOTE on the Pallas kernels: GSPMD cannot partition custom calls, so
-under a multi-device mesh the tile-slab warp / HCW conv kernels would
-make XLA all-gather their operands (correct, but serializes those ops
-on one shard's worth of work per device). For spatially-sharded
-multi-chip inference prefer `ATMVFIConfig(warp_impl="xla",
-conv_impl="xla", tail_planar="off")`; the kernels are single-chip
-serving optimizations.
+under the AUTOMATIC partitioner the tile-slab warp / HCW conv kernels
+would make XLA all-gather their operands — the gspmd serving path
+therefore forces the XLA op set (`ATMVFIConfig(warp_impl="xla",
+conv_impl="xla", tail_planar="off")`). The DEFAULT multi-chip serving
+path avoids this entirely: `parallel/spatial.py`'s manual-SPMD
+shard_map schedules run an ordinary single-device program per shard,
+keeping every kernel (see its module docstring).
 """
 from __future__ import annotations
 
