@@ -961,6 +961,54 @@ class Network(nn.Module):
             gf0_full, gf1_full = gf0, gf1
         return feat, gf0_full, gf1_full
 
+    def serving_middle_flows(self, gtok):
+        """Replicated flow head of the middle: global 1/16 tokens ->
+        (gf8_0, gf8_1 [1/8-res flows], gf0_full, gf1_full). The token
+        pre-align and decoder-input warps themselves are computed per
+        shard from these (serving_middle_align_rows / _decin_rows) —
+        warp OUTPUTS are row-local even though their reads are not."""
+        c = self.cfg
+        gf0, gf1, _ = self._global_motion_from_tokens(gtok)
+        gf0 = ops.upsample_flow(gf0, 2)
+        gf1 = ops.upsample_flow(gf1, 2)
+        g0, g1 = gf0, gf1
+        for _ in range(c.pyramid_level - 1):
+            g0 = ops.upsample_flow(g0, 2)
+            g1 = ops.upsample_flow(g1, 2)
+        return gf0, gf1, g0, g1
+
+    def serving_middle_align_rows(self, feat, gf8_0_rows, gf8_1_rows,
+                                  row0):
+        """Sharded token pre-align: full fused tokens [2B, H/8, W/8, C]
+        + the global 1/8 flows at output rows [row0, row0+rows) ->
+        aligned tokens on those rows (row-for-row equal to the
+        replicated warp; ops.flow_warp_rows)."""
+        B = feat.shape[0] // 2
+        return jnp.concatenate(
+            [
+                ops.flow_warp_rows(feat[:B], gf8_0_rows, row0),
+                ops.flow_warp_rows(feat[B:], gf8_1_rows, row0),
+            ],
+            axis=0,
+        )
+
+    def serving_middle_decin_rows(self, enh, out_rows, row0):
+        """Sharded decoder-input assembly: full enhanced features (warp
+        sources) + the motion head output at rows [row0, row0+rows) ->
+        dec_in on those rows."""
+        fd1 = self.cfg.decoder_dims[0]
+        out_f = out_rows.astype(jnp.float32)
+        flow0 = out_f[..., 0:2]
+        flow1 = out_f[..., 2:4]
+        return jnp.concatenate(
+            [
+                ops.flow_warp_rows(enh[..., :fd1], flow0, row0),
+                ops.flow_warp_rows(enh[..., fd1 : 2 * fd1], flow1, row0),
+                out_rows,
+            ],
+            axis=-1,
+        )
+
     def serving_middle_attn(self, feat_slab):
         """Sharded middle part B: pre-aligned token slab (8-row-aligned
         at 1/8 so the window grid matches the global partition) ->

@@ -6,7 +6,12 @@ from atmvfi_tpu.ops.resize import (
     resize_scale,
     upsample_flow,
 )
-from atmvfi_tpu.ops.warp import coords_grid, flow_warp, grid_sample_bilinear
+from atmvfi_tpu.ops.warp import (
+    coords_grid,
+    flow_warp,
+    flow_warp_rows,
+    grid_sample_bilinear,
+)
 from atmvfi_tpu.ops.warp_pallas import flow_warp_blend, flow_warp_dispatch
 from atmvfi_tpu.ops.window import (
     attn_mask_for,
@@ -25,6 +30,7 @@ __all__ = [
     "coords_grid",
     "downsample_2x",
     "flow_warp",
+    "flow_warp_rows",
     "flow_warp_blend",
     "flow_warp_dispatch",
     "grid_sample_bilinear",

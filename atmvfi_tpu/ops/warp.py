@@ -134,6 +134,28 @@ def _sample_xy(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return out
 
 
+def flow_warp_rows(feature: jnp.ndarray, flow_rows: jnp.ndarray, row0,
+                   return_mask: bool = False):
+    """Backward-warp onto OUTPUT rows [row0, row0 + h_s) only.
+
+    feature: [B, H, W, C] FULL source (backward warps read wherever the
+    flow points, so the source cannot be sliced); flow_rows:
+    [B, h_s, W, 2] the flow at those output rows; row0: (traced) global
+    row of output row 0 — folded into the y sample coordinate, exactly
+    the source-offset trick of planar_warp_pair_srcfull lifted to NHWC
+    feature maps. Row-for-row equal to flow_warp(feature, flow)[rows].
+    Used by the spatial serving schedule to compute the token pre-align
+    and decoder-input feature warps per shard (round 5)."""
+    b, h_s, w, _ = flow_rows.shape
+    cdtype = jnp.promote_types(flow_rows.dtype, jnp.float32)
+    x = jax.lax.broadcasted_iota(cdtype, (h_s, w), 1) \
+        + flow_rows[..., 0].astype(cdtype)
+    y = jax.lax.broadcasted_iota(cdtype, (h_s, w), 0) \
+        + jnp.asarray(row0).astype(cdtype) \
+        + flow_rows[..., 1].astype(cdtype)
+    return _sample_xy(feature, x, y, return_mask)
+
+
 def flow_warp(feature: jnp.ndarray, flow: jnp.ndarray, return_mask: bool = False):
     """Backward-warp `feature` [B, H, W, C] by `flow` [B, H, W, 2] (x, y).
 

@@ -213,15 +213,20 @@ def make_spatial_forward(net, mesh, margin: int = 96,
         # ---- attention middle ----
         H8 = H // 8
         h8_loc = h_loc // 8
+        s8, hs8 = s // 8, h_slab // 8
         if shard_middle and H8 % 8 == 0:
-            # part A replicated (global branch + token pre-align —
-            # unbounded warp reads need the full map)
-            feat_al, gf0, gf1 = net.apply(
-                variables, feat8, gtok, global_motion=global_motion,
-                method=Network.serving_middle_global,
-            )
-            # part B sharded on an 8-row-aligned 1/8 slab with a halo
-            # that absorbs shifted-window wrap + conv receptive fields
+            # replicated: ONLY the global branch + flow upsamples; the
+            # token pre-align and decoder-input warps read full maps
+            # but their OUTPUTS are row-local, so they run per shard
+            # via the source-offset row warps (ops.flow_warp_rows)
+            if global_motion:
+                gf8_0, gf8_1, gf0, gf1 = net.apply(
+                    variables, gtok, method=Network.serving_middle_flows,
+                )
+            else:
+                gf0 = gf1 = None
+            # attention slab: 8-row-aligned 1/8 slab with a halo that
+            # absorbs shifted-window wrap + conv receptive fields
             # (~22 rows measured worst-case; 32 + up to 8 alignment
             # skew). Slab bounds (not the true-row crop) must land on
             # the global window grid.
@@ -231,9 +236,19 @@ def make_spatial_forward(net, mesh, margin: int = 96,
                 ((i * h8_loc - ha) // 8) * 8, 0, H8 - a_len
             )
             acrop = i * h8_loc - a0
+            if global_motion:
+                feat_slab = net.apply(
+                    variables, feat8,
+                    jax.lax.dynamic_slice_in_dim(gf8_0, a0, a_len, 1),
+                    jax.lax.dynamic_slice_in_dim(gf8_1, a0, a_len, 1),
+                    a0, method=Network.serving_middle_align_rows,
+                )
+            else:
+                feat_slab = jax.lax.dynamic_slice_in_dim(
+                    feat8, a0, a_len, 1
+                )
             enh_s, out_s = net.apply(
-                variables,
-                jax.lax.dynamic_slice_in_dim(feat_al, a0, a_len, 1),
+                variables, feat_slab,
                 method=Network.serving_middle_attn,
             )
             enh = jax.lax.all_gather(
@@ -244,21 +259,20 @@ def make_spatial_forward(net, mesh, margin: int = 96,
                 jax.lax.dynamic_slice_in_dim(out_s, acrop, h8_loc, 1),
                 SPATIAL_AXIS, axis=1, tiled=True,
             )
-            # part C replicated (feature warps read the full maps)
-            dec_in = net.apply(
-                variables, enh, out,
-                method=Network.serving_middle_decin,
+            # decoder input assembled directly on the tail slab rows
+            dec_slab = net.apply(
+                variables, enh,
+                jax.lax.dynamic_slice_in_dim(out, s8, hs8, 1), s8,
+                method=Network.serving_middle_decin_rows,
             )
         else:
             dec_in, gf0, gf1 = net.apply(
                 variables, feat8, gtok, global_motion=global_motion,
                 method=Network.serving_middle,
             )
+            dec_slab = jax.lax.dynamic_slice_in_dim(dec_in, s8, hs8, 1)
 
         # ---- sharded tail: decoder stages 2-0 + refiner on the slab ----
-        dec_slab = jax.lax.dynamic_slice_in_dim(
-            dec_in, s // 8, h_slab // 8, 1
-        )
         gf0_slab = gf1_slab = None
         if global_motion:
             gf0_slab = jax.lax.dynamic_slice_in_dim(gf0, s, h_slab, 1)
@@ -343,17 +357,26 @@ def make_deep_shard_sim(net, H: int, W: int, n: int, margin: int = 96,
             )
         H8 = H // 8
         h8_loc = h_loc // 8
+        s8, hs8 = s // 8, h_slab // 8
         if shard_middle and H8 % 8 == 0:
-            feat_al, gf0, gf1 = net.apply(
-                variables, f8, g16, global_motion=global_motion,
-                method=Network.serving_middle_global,
-            )
+            gf0 = gf1 = None
             ha = 32
             a_len = min(-(-(h8_loc + 2 * ha + 8) // 8) * 8, H8)
             a0 = min(max(((i * h8_loc - ha) // 8) * 8, 0), H8 - a_len)
             acrop = i * h8_loc - a0
+            if global_motion:
+                gf8_0, gf8_1, gf0, gf1 = net.apply(
+                    variables, g16, method=Network.serving_middle_flows,
+                )
+                feat_slab = net.apply(
+                    variables, f8, gf8_0[:, a0 : a0 + a_len],
+                    gf8_1[:, a0 : a0 + a_len], a0,
+                    method=Network.serving_middle_align_rows,
+                )
+            else:
+                feat_slab = f8[:, a0 : a0 + a_len]
             enh_s, out_s = net.apply(
-                variables, feat_al[:, a0 : a0 + a_len],
+                variables, feat_slab,
                 method=Network.serving_middle_attn,
             )
             enh = jnp.concatenate(
@@ -362,20 +385,22 @@ def make_deep_shard_sim(net, H: int, W: int, n: int, margin: int = 96,
             out = jnp.concatenate(
                 [out_s[:, acrop : acrop + h8_loc]] * n, axis=1
             )
-            dec_in = net.apply(
-                variables, enh, out, method=Network.serving_middle_decin,
+            dec_slab = net.apply(
+                variables, enh, out[:, s8 : s8 + hs8], s8,
+                method=Network.serving_middle_decin_rows,
             )
         else:
             dec_in, gf0, gf1 = net.apply(
                 variables, f8, g16, global_motion=global_motion,
                 method=Network.serving_middle,
             )
+            dec_slab = dec_in[:, s8 : s8 + hs8]
         gf0_s = gf1_s = None
         if global_motion:
             gf0_s = gf0[:, s : s + h_slab]
             gf1_s = gf1[:, s : s + h_slab]
         return net.apply(
-            variables, dec_in[:, s // 8 : (s + h_slab) // 8],
+            variables, dec_slab,
             nhwc_to_planar(a), nhwc_to_planar(b), gf0_s, gf1_s,
             jnp.int32(s), jnp.int32(crop), h_loc, None,
             global_motion=global_motion,
