@@ -13,6 +13,7 @@ All ops are NHWC and shape-static (sizes are Python ints at trace time).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +89,104 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     x = _resize_axis(x, x.ndim - 3, out_h)
     x = _resize_axis(x, x.ndim - 2, out_w)
     return x
+
+
+def _resize_h_rows(x, out_size: int, row0, out_len: int,
+                   in_row0=0, in_size: Optional[int] = None):
+    """Rows [row0, row0 + out_len) of the H-axis align-corners resize
+    to `out_size`, computed from x's rows which cover the GLOBAL input
+    rows [in_row0, in_row0 + x.shape[-3]) of a virtual full input of
+    `in_size` rows. row0/in_row0 may be traced (the spatial serving
+    schedule's slab offsets); out_len and all sizes are static. Row-
+    for-row equal (to f32 rounding of the source-coordinate formula —
+    the static path computes it in f64) to
+    resize_bilinear(x_full, out_size, W)[..., row0:row0+out_len, :, :].
+
+    The caller must guarantee the needed input band lies inside x:
+    each output row reads input rows floor/ceil of
+    r*(in-1)/(out-1) — for the x2 upsampling chain a +-2-row pad per
+    level suffices."""
+    in_have = x.shape[-3]
+    if in_size is None:
+        in_size = in_have
+    rows = jnp.asarray(row0, jnp.int32) + jnp.arange(out_len,
+                                                     dtype=jnp.int32)
+    if out_size == 1:
+        i0 = jnp.zeros((out_len,), jnp.int32)
+        w = jnp.zeros((out_len, 1), jnp.float32)
+    else:
+        # src = rows*(in-1)/(out-1) via exact integer divmod: the
+        # integer part is exact and the fractional part is < 1, where
+        # f32 rounding is ~6e-8 absolute — a straight f32 product
+        # loses ~2e-5 at 4K row indices (visible at 4e-4 in flows)
+        num = rows * (in_size - 1)
+        den = out_size - 1
+        q = num // den
+        rem = num - q * den
+        i0 = jnp.clip(q, 0, in_size - 1)
+        w = (rem.astype(jnp.float32) / float(den))[:, None]
+    i1 = jnp.clip(i0 + 1, 0, in_size - 1)
+    axis = x.ndim - 3
+    rel0 = jnp.clip(i0 - jnp.asarray(in_row0), 0, in_have - 1)
+    rel1 = jnp.clip(i1 - jnp.asarray(in_row0), 0, in_have - 1)
+    if jax.default_backend() != "tpu":
+        # mirror _resize_axis's CPU two-tap lerp so the row form tracks
+        # the static path to w's f32 rounding (~1e-5 after the chain's
+        # x8 flow scaling), not the dot-vs-lerp f32 band (~1e-4)
+        a = jnp.take(x, rel0, axis=axis)
+        b = jnp.take(x, rel1, axis=axis)
+        wshape = [1] * x.ndim
+        wshape[axis] = out_len
+        wb = w.reshape(wshape)
+        y = a.astype(jnp.float32) * (1.0 - wb) + b.astype(jnp.float32) * wb
+        return y.astype(x.dtype)
+    iota = jnp.arange(in_have, dtype=jnp.int32)[None, :]
+    m = (iota == rel0[:, None]).astype(jnp.float32) * (1.0 - w) + (
+        iota == rel1[:, None]
+    ).astype(jnp.float32) * w                       # [out_len, in_have]
+    y = jax.lax.dot_general(
+        m.astype(x.dtype), x,
+        dimension_numbers=(((1,), (axis,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.moveaxis(y, 0, axis).astype(x.dtype)
+
+
+def upsample_flow_rows(flow, levels: int, row0, out_len: int):
+    """Rows [row0, row0 + out_len) of
+    upsample_flow(...upsample_flow(flow, 2)..., 2) applied `levels`
+    times — the progressive x2 chain of the global-flow upsample
+    (network.py serving loop) computed only at the needed output rows.
+    flow: the FULL coarse flow [..., h, w, 2]; row0 traced; out_len
+    static (out_len and row0 are FULL-RES rows; out_len % 2**levels
+    == 0). Each intermediate level keeps a +-2-row band so the next
+    level's taps stay in range; W-axis resizes are full-width static.
+    """
+    h = flow.shape[-3]
+    w = flow.shape[-2]
+    sizes = [h * 2**k for k in range(levels + 1)]
+    # level k slab: rows [r_k, r_k + len_k) of the virtual full level
+    lens = [out_len]
+    for _ in range(levels - 1):
+        lens.insert(0, lens[0] // 2 + 4)
+    cur = flow
+    cur_row0 = jnp.zeros((), jnp.int32)
+    cur_size = h
+    for k in range(levels):
+        out_size = sizes[k + 1]
+        ln = lens[k]
+        if k == levels - 1:
+            r0 = jnp.asarray(row0, jnp.int32)
+        else:
+            # center the band over the rows the NEXT level will read
+            r0 = jnp.clip(
+                jnp.asarray(row0, jnp.int32) // 2 ** (levels - 1 - k) - 2,
+                0, out_size - ln,
+            )
+        cur = _resize_h_rows(cur, out_size, r0, ln, cur_row0, cur_size)
+        cur = _resize_axis(cur, cur.ndim - 2, w * 2 ** (k + 1)) * 2.0
+        cur_row0, cur_size = r0, out_size
+    return cur
 
 
 def resize_scale(x: jnp.ndarray, scale: float) -> jnp.ndarray:

@@ -57,6 +57,15 @@ from jax.sharding import PartitionSpec as P
 from atmvfi_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
 
 
+def _gf_rows_fit(h_slab: int, H: int) -> bool:
+    """Static fit check for upsample_flow_rows' intermediate bands
+    (each x2 level keeps +-2 extra rows; the band must not exceed the
+    level's virtual full height)."""
+    ln2 = h_slab // 2 + 4       # 1/2-res band
+    ln1 = ln2 // 2 + 4          # 1/4-res band
+    return ln2 <= H // 2 and ln1 <= H // 4
+
+
 def _shard_map(f, mesh, in_specs, out_specs):
     import inspect
 
@@ -265,6 +274,24 @@ def make_spatial_forward(net, mesh, margin: int = 96,
                 jax.lax.dynamic_slice_in_dim(out, s8, hs8, 1), s8,
                 method=Network.serving_middle_decin_rows,
             )
+            # full-res global-flow slab via the row-banded upsample
+            # chain (bit-exact vs the full chain) — the full-res
+            # upsample in serving_middle_flows then DCEs; fall back to
+            # slicing it when the intermediate bands don't fit (tiny
+            # frames where the slab clamps toward full height)
+            if global_motion and _gf_rows_fit(h_slab, H):
+                from atmvfi_tpu.ops.resize import upsample_flow_rows
+
+                lv = net.cfg.pyramid_level - 1
+                gf0_slab = upsample_flow_rows(gf8_0, lv, s, h_slab)
+                gf1_slab = upsample_flow_rows(gf8_1, lv, s, h_slab)
+                return net.apply(
+                    variables, dec_slab,
+                    nhwc_to_planar(im0f), nhwc_to_planar(im1f),
+                    gf0_slab, gf1_slab, s, crop, h_loc, SPATIAL_AXIS,
+                    global_motion=global_motion,
+                    method=Network.serving_tail_deep,
+                )
         else:
             dec_in, gf0, gf1 = net.apply(
                 variables, feat8, gtok, global_motion=global_motion,
@@ -389,6 +416,19 @@ def make_deep_shard_sim(net, H: int, W: int, n: int, margin: int = 96,
                 variables, enh, out[:, s8 : s8 + hs8], s8,
                 method=Network.serving_middle_decin_rows,
             )
+            if global_motion and _gf_rows_fit(h_slab, H):
+                from atmvfi_tpu.ops.resize import upsample_flow_rows
+
+                lv = net.cfg.pyramid_level - 1
+                gf0 = upsample_flow_rows(gf8_0, lv, s, h_slab)
+                gf1 = upsample_flow_rows(gf8_1, lv, s, h_slab)
+                return net.apply(
+                    variables, dec_slab, nhwc_to_planar(a),
+                    nhwc_to_planar(b), gf0, gf1, jnp.int32(s),
+                    jnp.int32(crop), h_loc, None,
+                    global_motion=global_motion,
+                    method=Network.serving_tail_deep,
+                )
         else:
             dec_in, gf0, gf1 = net.apply(
                 variables, f8, g16, global_motion=global_motion,
